@@ -1,0 +1,138 @@
+"""Weight-normalised convolutions (explicit g·v/||v|| at every call).
+
+The reference trains its discriminator / BigVGAN / HiFiGAN convs under
+torch's weight_norm parametrization (discriminator.py:23-27, bigvgan.py:292,
+firefly.py:32). Training parity needs the same reparameterization, so these
+modules keep (v, g) as the trainable params and materialise the weight on
+the fly — XLA folds the normalisation into the conv epilogue.
+
+torch's weight_norm uses dim=0 of the torch layout:
+  * Conv / Linear   [out, in, k...]      -> one g per OUTPUT channel
+  * ConvTranspose1d [in, out, k]         -> one g per INPUT channel
+which in our channels-last kernels ([k..., in, out] / [k, in, out]) means
+normalising over all axes except the last (conv) or except axis 1
+(transposed conv).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dmel_codec_tpu.nn.conv import conv_transpose1d
+
+
+def weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """w = g * v / ||v||, norm taken over all axes except `axis`."""
+    reduce_axes = tuple(i for i in range(v.ndim) if i != axis)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=reduce_axes, keepdims=True))
+    g_shape = [1] * v.ndim
+    g_shape[axis] = v.shape[axis]
+    return g.reshape(g_shape) * v / norm
+
+
+def _pair(x) -> tuple:
+    return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+
+class WNConv(nn.Module):
+    """N-D weight-normalised conv, channels-last, explicit symmetric padding.
+
+    `padding` is in torch units: int or per-spatial-dim ints, applied on both
+    sides. Initialised so that g = ||v|| (weight_norm identity at init).
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    dilation: Union[int, Sequence[int]] = 1
+    feature_group_count: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = len(self.kernel_size)
+        strides = (
+            (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
+        )
+        dilation = (
+            (self.dilation,) * ndim
+            if isinstance(self.dilation, int)
+            else tuple(self.dilation)
+        )
+        padding = (
+            ((self.padding, self.padding),) * ndim
+            if isinstance(self.padding, int)
+            else tuple((p, p) for p in self.padding)
+        )
+        in_ch = x.shape[-1] // self.feature_group_count
+        v = self.param(
+            "v", self.kernel_init, (*self.kernel_size, in_ch, self.features)
+        )
+        g = self.param(
+            "g",
+            lambda rng, shape: jnp.sqrt(
+                jnp.sum(
+                    self.kernel_init(rng, (*self.kernel_size, in_ch, self.features)) ** 2,
+                    axis=tuple(range(ndim + 1)),
+                )
+            ),
+            (self.features,),
+        )
+        kernel = weight_norm_kernel(v, g, axis=v.ndim - 1)
+
+        spatial = "".join("DHW"[3 - ndim + i] for i in range(ndim)) if ndim <= 3 else None
+        assert spatial is not None, "WNConv supports 1-3 spatial dims"
+        dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=strides,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalised torch-semantics 1-D transposed conv.
+
+    Kernel layout [k, in, out]; g has one entry per INPUT channel (torch
+    weight_norm dim=0 on the [in, out, k] transposed-conv weight).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        shape = (self.kernel_size, in_ch, self.features)
+        v = self.param("v", self.kernel_init, shape)
+        g = self.param(
+            "g",
+            lambda rng, s: jnp.sqrt(
+                jnp.sum(self.kernel_init(rng, shape) ** 2, axis=(0, 2))
+            ),
+            (in_ch,),
+        )
+        kernel = weight_norm_kernel(v, g, axis=1)
+        y = conv_transpose1d(x, kernel, self.stride, self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y

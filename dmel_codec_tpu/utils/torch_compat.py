@@ -34,11 +34,10 @@ def conv2d_kernel(w: np.ndarray) -> np.ndarray:
 def conv_transpose1d_kernel(w: np.ndarray) -> np.ndarray:
     """torch ConvTranspose1d weight [in, out, k] -> flax-style [k, in, out].
 
-    Our transposed conv implementation cross-correlates the ratio-dilated
-    input against the time-flipped kernel, so the flip happens here once at
-    load time.
+    No time flip here: `nn.conv.conv_transpose1d` flips the kernel itself
+    (torch transposed conv is a true convolution; XLA cross-correlates).
     """
-    return np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])
+    return np.ascontiguousarray(np.transpose(w, (2, 0, 1)))
 
 
 def dense_kernel(w: np.ndarray) -> np.ndarray:

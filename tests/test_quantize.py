@@ -108,7 +108,7 @@ def test_conv_transpose_matches_torch(rng):
         m = ConvTranspose1dTorch(cout, kernel_size=k, stride=s, padding=p)
         params = {
             "params": {
-                "kernel": tc.conv_transpose1d_kernel(ref.weight.detach().numpy())[::-1].copy(),
+                "kernel": tc.conv_transpose1d_kernel(ref.weight.detach().numpy()),
                 "bias": ref.bias.detach().numpy(),
             }
         }

@@ -1,0 +1,298 @@
+"""BigVGAN vocoder (mel -> waveform) as channels-last flax.
+
+Capability parity with reference models/modules/bigvgan/bigvgan.py:31-393:
+  * conv_pre (k7) -> N x [weight-norm transposed-conv upsample -> averaged
+    parallel AMP resblocks] -> anti-aliased snake -> conv_post (k7) ->
+    tanh or clamp (v2 checkpoints use clamp, use_tanh_at_final=False)
+  * AMPBlock1 (convs1 dilated + convs2 dilation-1, :31-147) and AMPBlock2
+    (:150-241); anti-aliased activation = 2x kaiser-sinc upsample -> snake /
+    snakebeta -> 2x downsample (alias_free_activation/torch/act.py:8-30)
+  * weight-norm everywhere, loadable from the torch `{"generator": ...}`
+    checkpoint format via `params_from_torch_state_dict`
+
+This is the xRT-critical path (SURVEY section 7 step 5). The anti-aliased
+activation has two interchangeable implementations:
+  * pure JAX (nn/resample.py depthwise convs) — the correctness oracle
+  * fused Pallas TPU kernel (ops/anti_alias.py) — upsample-FIR + snake +
+    downsample-FIR in one VMEM-resident pass, the analogue of the
+    reference's fused CUDA kernel (anti_alias_activation_cuda.cu:44-179)
+selected by `BigVGANConfig.use_pallas_kernel` exactly like the reference's
+`use_cuda_kernel` toggle (bigvgan.py:279-286).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from dmel_codec_tpu.nn.resample import DownSample1d, UpSample1d
+from dmel_codec_tpu.nn.snake import snake, snake_beta
+from dmel_codec_tpu.nn.weight_norm import WNConv, WNConvTranspose1d
+from dmel_codec_tpu.utils import torch_compat as tc
+
+
+@dataclasses.dataclass(frozen=True)
+class BigVGANConfig:
+    """Defaults = the bigvgan_v2_24khz_100band_256x generator the codec uses
+    (config/codec/stage/pretrain.yaml:36-38)."""
+
+    num_mels: int = 100
+    upsample_rates: Tuple[int, ...] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    use_bias_at_final: bool = False
+    use_tanh_at_final: bool = False
+    use_pallas_kernel: bool = False
+
+    @property
+    def hop_total(self) -> int:
+        return math.prod(self.upsample_rates)
+
+    @property
+    def num_kernels(self) -> int:
+        return len(self.resblock_kernel_sizes)
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class AliasFreeActivation(nn.Module):
+    """2x upsample -> snake/snakebeta -> 2x downsample, per channel."""
+
+    activation: str  # "snake" | "snakebeta"
+    logscale: bool
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (channels,))
+        if self.activation == "snakebeta":
+            beta = self.param("beta", init, (channels,))
+        elif self.activation == "snake":
+            beta = None
+        else:
+            raise ValueError(f"unknown activation {self.activation!r}")
+
+        if self.use_pallas:
+            from dmel_codec_tpu.ops.anti_alias import fused_anti_alias_activation
+
+            return fused_anti_alias_activation(
+                x, alpha, beta, logscale=self.logscale
+            )
+
+        x = UpSample1d(ratio=2)(x)
+        if beta is None:
+            x = snake(x, alpha, self.logscale)
+        else:
+            x = snake_beta(x, alpha, beta, self.logscale)
+        return DownSample1d(ratio=2)(x)
+
+
+class AMPBlock1(nn.Module):
+    """Dilated+plain conv pairs with anti-aliased snake between (ref :31-147)."""
+
+    channels: int
+    kernel_size: int
+    dilation: Tuple[int, ...]
+    activation: str
+    logscale: bool
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def act(idx: int, y: jnp.ndarray) -> jnp.ndarray:
+            return AliasFreeActivation(
+                self.activation, self.logscale, self.use_pallas, name=f"act_{idx}"
+            )(y)
+
+        for j, d in enumerate(self.dilation):
+            xt = act(2 * j, x)
+            xt = WNConv(
+                self.channels,
+                kernel_size=(self.kernel_size,),
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                name=f"conv1_{j}",
+            )(xt)
+            xt = act(2 * j + 1, xt)
+            xt = WNConv(
+                self.channels,
+                kernel_size=(self.kernel_size,),
+                padding=_get_padding(self.kernel_size, 1),
+                name=f"conv2_{j}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """Single dilated conv per activation (ref :150-241)."""
+
+    channels: int
+    kernel_size: int
+    dilation: Tuple[int, ...]
+    activation: str
+    logscale: bool
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j, d in enumerate(self.dilation):
+            xt = AliasFreeActivation(
+                self.activation, self.logscale, self.use_pallas, name=f"act_{j}"
+            )(x)
+            xt = WNConv(
+                self.channels,
+                kernel_size=(self.kernel_size,),
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                name=f"conv_{j}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class BigVGAN(nn.Module):
+    """mel [B, T, num_mels] -> waveform [B, T * hop_total]."""
+
+    config: BigVGANConfig = BigVGANConfig()
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        block_cls = {"1": AMPBlock1, "2": AMPBlock2}[cfg.resblock]
+
+        x = WNConv(
+            cfg.upsample_initial_channel, kernel_size=(7,), padding=3, name="conv_pre"
+        )(mel)
+
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = WNConvTranspose1d(
+                ch, kernel_size=k, stride=u, padding=(k - u) // 2, name=f"up_{i}"
+            )(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = block_cls(
+                    channels=ch,
+                    kernel_size=rk,
+                    dilation=tuple(rd),
+                    activation=cfg.activation,
+                    logscale=cfg.snake_logscale,
+                    use_pallas=cfg.use_pallas_kernel,
+                    name=f"resblock_{i * cfg.num_kernels + j}",
+                )(x)
+                xs = out if xs is None else xs + out
+            x = xs / cfg.num_kernels
+
+        x = AliasFreeActivation(
+            cfg.activation, cfg.snake_logscale, cfg.use_pallas_kernel, name="act_post"
+        )(x)
+        x = WNConv(
+            1,
+            kernel_size=(7,),
+            padding=3,
+            use_bias=cfg.use_bias_at_final,
+            name="conv_post",
+        )(x)
+        x = x[..., 0]  # [B, L]
+        if cfg.use_tanh_at_final:
+            return jnp.tanh(x)
+        return jnp.clip(x, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint interop ("{'generator': state_dict}" format, ref :409-418)
+# ---------------------------------------------------------------------------
+
+
+def _wn_pair(sd: dict, prefix: str):
+    """Fetch (v, g) accepting both old weight_norm and new parametrization keys."""
+    if f"{prefix}.weight_v" in sd:
+        return sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"]
+    return (
+        sd[f"{prefix}.parametrizations.weight.original1"],
+        sd[f"{prefix}.parametrizations.weight.original0"],
+    )
+
+
+def _wn_conv1d(sd: dict, prefix: str) -> dict:
+    v, g = _wn_pair(sd, prefix)
+    p = {"v": tc.conv1d_kernel(v), "g": np.asarray(g).reshape(-1)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _wn_convtranspose1d(sd: dict, prefix: str) -> dict:
+    v, g = _wn_pair(sd, prefix)
+    p = {"v": tc.conv_transpose1d_kernel(v), "g": np.asarray(g).reshape(-1)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _act_params(sd: dict, prefix: str, activation: str) -> dict:
+    p = {"alpha": sd[f"{prefix}.alpha"]}
+    if activation == "snakebeta":
+        p["beta"] = sd[f"{prefix}.beta"]
+    return p
+
+
+def params_from_torch_state_dict(sd: dict, config: BigVGANConfig) -> dict:
+    """torch BigVGAN generator state_dict (numpy values) -> flax params tree."""
+    cfg = config
+    params = {
+        "conv_pre": _wn_conv1d(sd, "conv_pre"),
+        "conv_post": _wn_conv1d(sd, "conv_post"),
+        "act_post": _act_params(sd, "activation_post.act", cfg.activation),
+    }
+    n_res_convs = {"1": 2, "2": 1}[cfg.resblock]
+    for i in range(len(cfg.upsample_rates)):
+        params[f"up_{i}"] = _wn_convtranspose1d(sd, f"ups.{i}.0")
+        for j in range(cfg.num_kernels):
+            n = i * cfg.num_kernels + j
+            block: dict = {}
+            dil = cfg.resblock_dilation_sizes[j]
+            for jj in range(len(dil)):
+                if cfg.resblock == "1":
+                    block[f"conv1_{jj}"] = _wn_conv1d(sd, f"resblocks.{n}.convs1.{jj}")
+                    block[f"conv2_{jj}"] = _wn_conv1d(sd, f"resblocks.{n}.convs2.{jj}")
+                else:
+                    block[f"conv_{jj}"] = _wn_conv1d(sd, f"resblocks.{n}.convs.{jj}")
+            for a in range(n_res_convs * len(dil)):
+                block[f"act_{a}"] = _act_params(
+                    sd, f"resblocks.{n}.activations.{a}.act", cfg.activation
+                )
+            params[f"resblock_{n}"] = block
+    return params
+
+
+def load_torch_checkpoint(path: str, config: BigVGANConfig) -> dict:
+    """Load a `bigvgan_generator.pt` file into flax params (CPU torch load)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("generator", ckpt)
+    return params_from_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, config
+    )

@@ -1,0 +1,225 @@
+"""Fused anti-aliased snake activation — Pallas TPU kernel.
+
+TPU-native equivalent of the reference's fused CUDA kernel
+(bigvgan/alias_free_activation/cuda/anti_alias_activation_cuda.cu:44-179):
+replicate-pad -> 12-tap 2x upsample FIR -> snake/snakebeta -> replicate-pad
+-> 12-tap 2x downsample FIR, in a single VMEM-resident pass. The unfused
+composite (nn/resample.py + nn/snake.py) is the correctness oracle and the
+backward path.
+
+Derivation (polyphase, so the 2x-rate signal is never materialised in HBM):
+with f = kaiser_sinc(0.5/2, 0.6/2, 12) and the reference's exact padding
+(UpSample1d: replicate 5, crop 15/16; DownSample1d: replicate 5/6):
+
+  u[2s]   = 2 * sum_{i=0..5} f[2i+1] * x[s+2-i]          (even phase)
+  u[2s+1] = 2 * sum_{i=0..5} f[2i]   * x[s+3-i]          (odd phase)
+  v       = snake(u)
+  y[t]    = sum_{i=0..5} f[2i+1] * v_even[t+i-2]
+          + sum_{i=0..5} f[2i]   * v_odd [t+i-3]
+
+so each output tile [TT] needs input halo x[t0-6 .. t0+TT+5] — the same
++-6-tap halo the CUDA kernel keeps in its shared-memory buffer
+(anti_alias_activation_cuda.cu:98-166).
+
+Grid: (batch, time-tiles); channels ride the 128-wide lanes, time the
+sublanes. The input stays in HBM/ANY and each cell DMAs its haloed slice
+into a VMEM scratch (overlapping reads cannot be expressed as BlockSpecs).
+
+The public op is differentiable: forward = this kernel, backward = VJP of
+the unfused composite (the CUDA original simply raises on backward).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmel_codec_tpu.nn.resample import downsample1d, kaiser_sinc_filter1d, upsample1d
+from dmel_codec_tpu.nn.snake import snake, snake_beta
+
+_KS = 12
+_HALO = 8  # input halo per side; 6 taps needed, 8 keeps slices 8-aligned
+_FILT = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, _KS)  # [12], numpy
+
+_SNAKE_EPS = 1e-9
+
+
+def _pick_tile(t: int, channels: int) -> int:
+    """Time-tile length: ~1 MiB of fp32 per [TT, C] buffer, multiple of 8."""
+    budget = (1 << 18) // max(channels, 1)
+    tt = max(8, min(2048, budget))
+    tt = (tt // 8) * 8
+    return min(tt, max(8, ((t + 7) // 8) * 8))
+
+
+def _shift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
+    """result[j] = arr[j + k] (circular; wrapped rows fall in the halo)."""
+    if k == 0:
+        return arr
+    return pltpu.roll(arr, (-k) % arr.shape[0], 0)
+
+
+def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # Haloed input slice: local index j <-> global x[i*tile - 8 + j].
+    # Slice offset/length are multiples of 8 (Mosaic sublane tiling).
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * _HALO), :],
+        scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    xt = scratch[:]  # [L, C], L = tile + 16
+
+    # Upsample phases at full length: u_even[j] = u[2s], u_odd[j] = u[2s+1]
+    # for s = t0 - 8 + j. Circular wrap from the rolls only pollutes rows
+    # outside the ranges consumed below.
+    u_even = jnp.zeros_like(xt)
+    u_odd = jnp.zeros_like(xt)
+    for i_tap in range(6):
+        fe = float(2.0 * _FILT[2 * i_tap + 1])
+        fo = float(2.0 * _FILT[2 * i_tap])
+        u_even = u_even + fe * _shift(xt, 2 - i_tap)
+        u_odd = u_odd + fo * _shift(xt, 3 - i_tap)
+
+    # snake / snakebeta (alpha, 1/beta precomputed by the wrapper)
+    alpha = alpha_ref[0, :]
+    inv_beta = beta_ref[0, :]
+    se = jnp.sin(u_even * alpha)
+    so = jnp.sin(u_odd * alpha)
+    v_even = u_even + inv_beta * se * se
+    v_odd = u_odd + inv_beta * so * so
+
+    # Downsample at full length, then emit the aligned [8 : 8+tile] window.
+    y = jnp.zeros_like(xt)
+    for i_tap in range(6):
+        fe = float(_FILT[2 * i_tap + 1])
+        fo = float(_FILT[2 * i_tap])
+        y = y + fe * _shift(v_even, i_tap - 2)
+        y = y + fo * _shift(v_odd, i_tap - 3)
+    out_ref[0, :, :] = y[_HALO : _HALO + tile, :]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fused_forward(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    inv_beta: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, t, c = x.shape
+    tile = _pick_tile(t, c)
+    n_tiles = pl.cdiv(t, tile)
+
+    # Replicate-pad the halo; extend the tail so every tile's DMA is in
+    # bounds (tail garbage lands in clipped output rows only).
+    pad_tail = n_tiles * tile - t + _HALO
+    xp = jnp.pad(x, ((0, 0), (_HALO, pad_tail), (0, 0)), mode="edge")
+
+    return pl.pallas_call(
+        partial(_kernel, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _HALO, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, alpha[None, :], inv_beta[None, :])
+
+
+def anti_alias_activation_reference(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: Optional[jnp.ndarray],
+    logscale: bool = False,
+) -> jnp.ndarray:
+    """Unfused oracle: UpSample1d -> snake(beta) -> DownSample1d."""
+    filt = jnp.asarray(_FILT)
+    u = upsample1d(x, filt, 2, _KS)
+    if beta is None:
+        v = snake(u, alpha, logscale)
+    else:
+        v = snake_beta(u, alpha, beta, logscale)
+    return downsample1d(v, filt, 2, _KS)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_anti_alias_activation(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: Optional[jnp.ndarray],
+    logscale: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, T, C] -> [B, T, C]. beta=None selects plain snake (1/alpha gain).
+
+    Interior frames come from the fused kernel. The outermost 3 frames per
+    side are recomputed with the unfused oracle on a 16-frame edge slice:
+    the reference replicate-pads the *upsampled* signal before the
+    downsample FIR (resample.py DownSample1d), which the polyphase kernel's
+    input-side replication cannot reproduce — 3 frames each side is exactly
+    the reach of the 5/6-tap downsample padding.
+    """
+    if x.shape[1] < 32:
+        return anti_alias_activation_reference(x, alpha, beta, logscale)
+    a = jnp.exp(alpha) if logscale else alpha
+    if beta is None:
+        inv_b = 1.0 / (a + _SNAKE_EPS)
+    else:
+        bval = jnp.exp(beta) if logscale else beta
+        inv_b = 1.0 / (bval + _SNAKE_EPS)
+    y = _fused_forward(x, a, inv_b, interpret=interpret)
+    head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
+    tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
+    y = y.at[:, :3, :].set(head[:, :3, :])
+    y = y.at[:, -3:, :].set(tail[:, -3:, :])
+    return y
+
+
+def _fwd(x, alpha, beta, logscale, interpret):
+    return fused_anti_alias_activation(x, alpha, beta, logscale, interpret), (
+        x,
+        alpha,
+        beta,
+    )
+
+
+def _bwd(logscale, interpret, res, g):
+    x, alpha, beta = res
+    if beta is None:
+        _, vjp = jax.vjp(
+            lambda x_, a_: anti_alias_activation_reference(x_, a_, None, logscale),
+            x,
+            alpha,
+        )
+        dx, da = vjp(g)
+        return dx, da, None
+    _, vjp = jax.vjp(
+        lambda x_, a_, b_: anti_alias_activation_reference(x_, a_, b_, logscale),
+        x,
+        alpha,
+        beta,
+    )
+    return vjp(g)
+
+
+fused_anti_alias_activation.defvjp(_fwd, _bwd)

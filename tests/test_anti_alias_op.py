@@ -1,0 +1,61 @@
+"""Fused anti-alias activation kernel vs the unfused oracle (interpret mode).
+
+The Pallas kernel runs in interpreter mode on the CPU test platform; the
+compiled path is exercised on real TPU by bench.py / the driver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmel_codec_tpu.ops.anti_alias import (
+    anti_alias_activation_reference,
+    fused_anti_alias_activation,
+)
+
+ATOL = 1e-5
+
+
+@pytest.mark.parametrize("t,c", [(64, 16), (100, 24), (256, 8), (96, 130)])
+def test_fused_matches_oracle_snakebeta(rng, t, c):
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    want = anti_alias_activation_reference(x, alpha, beta, logscale=True)
+    got = fused_anti_alias_activation(x, alpha, beta, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_fused_matches_oracle_snake(rng):
+    x = jnp.asarray(rng.standard_normal((1, 80, 12)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(12).astype(np.float32) * 0.3 + 1.0)
+    want = anti_alias_activation_reference(x, alpha, None, logscale=False)
+    got = fused_anti_alias_activation(x, alpha, None, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_fused_short_input_falls_back(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 4)).astype(np.float32))
+    alpha = jnp.ones(4)
+    beta = jnp.ones(4)
+    want = anti_alias_activation_reference(x, alpha, beta, False)
+    got = fused_anti_alias_activation(x, alpha, beta, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_fused_gradients_match_oracle(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 8)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.2)
+    beta = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.2)
+
+    def loss_fused(x_, a_, b_):
+        return fused_anti_alias_activation(x_, a_, b_, True, True).sum()
+
+    def loss_ref(x_, a_, b_):
+        return anti_alias_activation_reference(x_, a_, b_, True).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, alpha, beta)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, alpha, beta)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,0 +1,71 @@
+"""BigVGAN golden parity: flax vs reference torch on identical weights."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import tests.reference_import  # noqa: F401
+from dmel_codec.models.modules.bigvgan.bigvgan import BigVGAN as RefBigVGAN
+from dmel_codec.models.modules.bigvgan.env import AttrDict
+
+from dmel_codec_tpu.models.bigvgan import (
+    BigVGAN,
+    BigVGANConfig,
+    params_from_torch_state_dict,
+)
+
+TINY = dict(
+    num_mels=8,
+    upsample_rates=(2, 2),
+    upsample_kernel_sizes=(4, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+    snake_logscale=True,
+    use_bias_at_final=False,
+    use_tanh_at_final=False,
+)
+
+
+def _ref_model(resblock: str, activation: str) -> RefBigVGAN:
+    h = AttrDict(
+        **{
+            **{k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()},
+            "resblock": resblock,
+            "activation": activation,
+        }
+    )
+    torch.manual_seed(0)
+    return RefBigVGAN(h=h).eval()
+
+
+@pytest.mark.parametrize(
+    "resblock,activation",
+    [("1", "snakebeta"), ("2", "snake"), ("1", "snake")],
+)
+def test_bigvgan_matches_reference(rng, resblock, activation):
+    ref = _ref_model(resblock, activation)
+    cfg = BigVGANConfig(**TINY, resblock=resblock, activation=activation)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_torch_state_dict(sd, cfg)
+
+    mel = rng.standard_normal((2, 16, cfg.num_mels)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()[:, 0, :]
+
+    got = BigVGAN(config=cfg).apply({"params": params}, jnp.asarray(mel))
+    assert got.shape == want.shape == (2, 16 * cfg.hop_total)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+def test_bigvgan_flagship_config_builds():
+    """Full-size generator initialises and has the right upsample factor."""
+    cfg = BigVGANConfig()
+    assert cfg.hop_total == 256
+    model = BigVGAN(config=cfg)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, cfg.num_mels)))
+    out = model.apply(params, jnp.zeros((1, 4, cfg.num_mels)))
+    assert out.shape == (1, 4 * 256)

@@ -1,0 +1,95 @@
+"""Headline benchmark: codec encode+decode real-time factor on one chip.
+
+Measures the full public codec path at 24 kHz — waveform -> log-mel ->
+band-WaveNet encode -> FSQ tokens -> FSQ decode -> WaveNet mel decode ->
+BigVGAN vocoder -> waveform — and reports xRT (seconds of audio processed
+per wall-clock second). Driver north star: xRT > 50 per TPU v5e chip
+(BASELINE.md). Weights are random-init; compute cost is weight-independent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
+from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
+
+BASELINE_XRT = 50.0
+BATCH = 4
+SECONDS = 4
+
+
+def main() -> None:
+    cfg = DMelCodecConfig()
+    vcfg = BigVGANConfig(use_pallas_kernel=jax.devices()[0].platform == "tpu")
+    codec = DMelCodec(config=cfg)
+    vocoder = BigVGAN(config=vcfg)
+    mel_tf = LogMelSpectrogram()
+
+    samples = cfg.sample_rate * SECONDS
+    frames = (samples // cfg.hop_length // cfg.downsample_total) * cfg.downsample_total
+
+    rng = jax.random.PRNGKey(0)
+    t = np.arange(samples) / cfg.sample_rate
+    audio = jnp.asarray(
+        (0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 1200 * t)),
+        dtype=jnp.float32,
+    )[None, :].repeat(BATCH, 0)
+
+    mels0 = jnp.zeros((BATCH, frames, cfg.n_mels))
+    params = codec.init(
+        rng,
+        mels0,
+        jnp.ones((BATCH, frames, 1)),
+        jnp.zeros((BATCH, 1)),
+        jnp.zeros((BATCH, frames, cfg.concat_dim)),
+    )["params"]
+    vparams = vocoder.init(jax.random.PRNGKey(1), mels0[:1, :8])["params"]
+    lengths = jnp.full((BATCH,), frames, jnp.int32)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (BATCH, frames, cfg.concat_dim))
+
+    @jax.jit
+    def pipeline(params, vparams, audio, noise):
+        mels = mel_tf(audio)[:, :frames, :]
+        indices, idx_lengths = codec.apply(
+            {"params": params}, mels, lengths, method=DMelCodec.encode
+        )
+        gen_mel = codec.apply(
+            {"params": params}, indices, idx_lengths, noise, method=DMelCodec.decode
+        )
+        return vocoder.apply({"params": vparams}, gen_mel)
+
+    out = pipeline(params, vparams, audio, noise)
+    out.block_until_ready()  # compile + warm
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = pipeline(params, vparams, audio, noise)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = BATCH * SECONDS * n_iters
+    xrt = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "codec_encode_decode_xrt",
+                "value": round(xrt, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(xrt / BASELINE_XRT, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Token sampling: repetition penalty -> top-k -> top-p -> temperature.
+
+Parity with reference utils/utils.py:82-161 (same order of operations:
+penalty on raw logits over the previous-token window, top-k floor, top-p
+nucleus on the UN-tempered logits, then temperature + softmax + sample).
+All static-shape / jit-friendly; the window is fixed-size with a validity
+mask instead of the reference's variable slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,
+    previous_tokens: jnp.ndarray,
+    valid: jnp.ndarray,
+    penalty: float,
+) -> jnp.ndarray:
+    """logits [V]; previous_tokens [W] int; valid [W] bool."""
+    prev = previous_tokens.astype(jnp.int32)
+    score = logits[prev]
+    new = jnp.where(score < 0, score * penalty, score / penalty)
+    new = jnp.where(valid, new, score)
+    return logits.at[prev].set(new)
+
+
+def logits_to_probs(
+    logits: jnp.ndarray,
+    previous_tokens: Optional[jnp.ndarray] = None,
+    previous_valid: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """logits [V] -> probs [V]."""
+    if previous_tokens is not None and repetition_penalty != 1.0:
+        if previous_valid is None:
+            previous_valid = jnp.ones(previous_tokens.shape, bool)
+        logits = apply_repetition_penalty(
+            logits, previous_tokens, previous_valid, repetition_penalty
+        )
+
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits)[::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits))
+        # threshold = smallest kept logit (first position always kept)
+        keep = (cum <= top_p) | (jnp.arange(logits.shape[-1]) == 0)
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf))
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+
+    logits = logits / max(temperature, 1e-5)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    previous_tokens: Optional[jnp.ndarray] = None,
+    previous_valid: Optional[jnp.ndarray] = None,
+    temperature: float = 0.7,
+    top_k: int = 50,
+    top_p: float = 0.7,
+    repetition_penalty: float = 1.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (token id scalar int32, probs [V])."""
+    probs = logits_to_probs(
+        logits,
+        previous_tokens,
+        previous_valid,
+        temperature,
+        top_k,
+        top_p,
+        repetition_penalty,
+    )
+    token = jax.random.categorical(rng, jnp.log(jnp.maximum(probs, 1e-30)))
+    return token.astype(jnp.int32), probs

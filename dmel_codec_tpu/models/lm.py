@@ -1,0 +1,252 @@
+"""Slow-fast multimodal LM ("MusicLLM") — text + codec-token transformer.
+
+Capability parity with reference models/modules/lm.py:34-326 and
+config_lm.py:
+  * slow model: Qwen2-0.5B-shaped decoder over summed embeddings
+    text_emb(ids) + projector(concat of 10 shifted-codebook audio embs)
+    (lm_lit_modules.py:206-221)
+  * fast model: small depth decoder over per-frame windows
+    [slow_hidden, cb0..cb9] (11 tokens), pre-RMSNorm on the slow hidden +
+    896->480 projection (lm.py:87-147)
+  * heads: text 896->151936, audio 480->1800, both bias-free
+  * losses: shifted CE with ignore -100; audio labels get the shifted text
+    label column-concatenated so depth position i predicts codebook i
+    (lm.py:237-249); NaN/Inf losses zeroed; weighted sum
+  * generation forwards: slow step with explicit KV cache; fast per-frame
+    decode over <= 11 tokens without cache (lm.py:272-326)
+
+Special-token vocabulary and sizes follow config/lm/slow_lm_0.5B.json and
+fast_lm.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dmel_codec_tpu.models.transformer import (
+    FAST_LM_CONFIG,
+    SLOW_LM_CONFIG,
+    Decoder,
+    RMSNorm,
+    TransformerConfig,
+    init_kv_cache,
+)
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class SlowFastLMConfig:
+    slow: TransformerConfig = SLOW_LM_CONFIG
+    fast: TransformerConfig = FAST_LM_CONFIG
+    audio_codebook_count: int = 10
+    audio_codebook_size: int = 180
+
+    # special ids (slow_lm_0.5B.json:28-40)
+    bos_token_id: int = 151643
+    eos_token_id: int = 151643
+    start_of_human_id: int = 151644
+    end_of_human_id: int = 151645
+    start_of_robot_id: int = 151646
+    end_of_robot_id: int = 151647
+    start_of_music_id: int = 151648
+    end_of_music_id: int = 151649
+    text_pad_id: int = 151650  # text_modality_mambaout_token_id
+    slow_audio_pad_id: int = 179  # slow_audio_modality_mambaout_token_id
+    fast_audio_pad_id: int = 176  # fast audio_pad_token_id
+
+    text_weight: float = 1.0
+    audio_weight: float = 1.0
+
+    @property
+    def audio_vocab(self) -> int:
+        return self.audio_codebook_count * self.audio_codebook_size  # 1800
+
+    @property
+    def codebook_shift(self) -> jnp.ndarray:
+        """Per-codebook id offset: cb i lives at [i*size, (i+1)*size)."""
+        import numpy as np
+
+        return jnp.asarray(
+            np.arange(self.audio_codebook_count) * self.audio_codebook_size
+        )
+
+
+def cross_entropy_ignore(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = IGNORE_INDEX
+) -> jnp.ndarray:
+    """Mean CE over labels != ignore_index (HF ForCausalLMLoss semantics,
+    on ALREADY-shifted logits/labels)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, nll, 0.0))
+    return total / jnp.maximum(valid.sum(), 1)
+
+
+def _zero_if_not_finite(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+class ChatMusicLM(nn.Module):
+    """Full slow-fast LM. Inputs are the multimodal token grid of
+    lm/inputs.py; embeddings, both decoders and both heads live here."""
+
+    config: SlowFastLMConfig = SlowFastLMConfig()
+
+    def setup(self):
+        cfg = self.config
+        self.text_embed = nn.Embed(
+            cfg.slow.vocab_size, cfg.slow.hidden_size, name="text_embed"
+        )  # pad id 151650 < vocab 151936 (ref lm.py:39-43)
+        self.slow_audio_embed = nn.Embed(
+            cfg.audio_vocab, cfg.slow.hidden_size, name="slow_audio_embed"
+        )
+        self.audio_projector = nn.Dense(
+            cfg.slow.hidden_size, use_bias=False, name="audio_projector"
+        )
+        self.slow_decoder = Decoder(cfg.slow, name="slow_decoder")
+
+        self.fast_pre_norm = RMSNorm(cfg.fast.rms_norm_eps, name="fast_pre_norm")
+        self.fast_projector = nn.Dense(cfg.fast.hidden_size, name="fast_projector")
+        self.fast_audio_embed = nn.Embed(
+            cfg.audio_vocab, cfg.fast.hidden_size, name="fast_audio_embed"
+        )
+        self.fast_decoder = Decoder(cfg.fast, name="fast_decoder")
+
+        self.text_head = nn.Dense(
+            cfg.slow.vocab_size, use_bias=False, name="text_head"
+        )
+        self.audio_head = nn.Dense(
+            cfg.audio_vocab, use_bias=False, name="audio_head"
+        )
+
+    # ---- embeddings (lm_lit_modules.py:206-221) ---------------------------
+    def embed_inputs(
+        self, text_ids: jnp.ndarray, audio_ids: jnp.ndarray
+    ) -> jnp.ndarray:
+        """text_ids [B, S], audio_ids [B, S, C] (shifted ids) -> [B, S, H]."""
+        text = self.text_embed(text_ids)
+        audio = self.slow_audio_embed(audio_ids)  # [B, S, C, H]
+        b, s = audio.shape[:2]
+        audio = self.audio_projector(audio.reshape(b, s, -1))
+        return text + audio
+
+    # ---- training forward (lm.py:206-270) ---------------------------------
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        text_labels: jnp.ndarray,
+        audio_labels: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """inputs_embeds [B, S, H]; text_labels [B, S]; audio_labels [B, S, C].
+        Labels use -100 for ignored positions (both paddings)."""
+        cfg = self.config
+        b, s, _ = inputs_embeds.shape
+        c = cfg.audio_codebook_count
+
+        slow_hidden, _ = self.slow_decoder(inputs_embeds)
+        text_logits = self.text_head(slow_hidden)  # [B, S, V_text]
+
+        # fast model input: labels shifted off the first frame (lm.py:112-127)
+        frame_labels = audio_labels[:, 1:, :]  # [B, S-1, C]
+        fast_ids = jnp.where(
+            frame_labels == IGNORE_INDEX, cfg.fast_audio_pad_id, frame_labels
+        )
+        h = self.fast_pre_norm(slow_hidden[:, :-1, :])
+        h = self.fast_projector(h)  # [B, S-1, h_fast]
+        cb_emb = self.fast_audio_embed(fast_ids)  # [B, S-1, C, h_fast]
+        fast_in = jnp.concatenate([h[:, :, None, :], cb_emb], axis=2)
+        fast_in = fast_in.reshape(b * (s - 1), c + 1, -1)
+        fast_hidden, _ = self.fast_decoder(fast_in)
+        audio_logits = self.audio_head(fast_hidden)  # [B*(S-1), C+1, V_audio]
+
+        # text loss: standard next-token shift
+        text_loss = cross_entropy_ignore(
+            text_logits[:, :-1, :], text_labels[:, 1:]
+        )
+        text_loss = _zero_if_not_finite(text_loss)
+
+        # audio loss: depth-shift with the text label column prepended
+        # (lm.py:239-242) — position i predicts codebook i
+        text_col = text_labels[:, 1:].reshape(b * (s - 1), 1)
+        depth_labels = jnp.concatenate(
+            [text_col, frame_labels.reshape(b * (s - 1), c)], axis=1
+        )  # [B*(S-1), C+1]
+        audio_loss = cross_entropy_ignore(
+            audio_logits[:, :-1, :], depth_labels[:, 1:]
+        )
+        audio_loss = _zero_if_not_finite(audio_loss)
+
+        loss = cfg.text_weight * text_loss + cfg.audio_weight * audio_loss
+        return {
+            "loss": loss,
+            "text_loss": text_loss,
+            "audio_loss": audio_loss,
+            "text_logits": text_logits,
+            "audio_logits": audio_logits,
+        }
+
+    # ---- generation forwards (lm.py:272-326) ------------------------------
+    def forward_generate_text(
+        self, inputs_embeds: jnp.ndarray, cache: dict
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+        """Incremental slow step. Returns (text_logits [B, S, V],
+        slow_hidden [B, S, H], new_cache)."""
+        slow_hidden, cache = self.slow_decoder(inputs_embeds, cache=cache)
+        return self.text_head(slow_hidden), slow_hidden, cache
+
+    def forward_generate_audio(
+        self,
+        slow_hidden: jnp.ndarray,
+        fast_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """slow_hidden [B, 1, H_slow], fast_ids [B, i] (or None) ->
+        audio logits of the LAST depth position [B, V_audio]."""
+        h = self.fast_pre_norm(slow_hidden)
+        h = self.fast_projector(h)  # [B, 1, h_fast]
+        if fast_ids is not None:
+            emb = self.fast_audio_embed(fast_ids)  # [B, i, h_fast]
+            h = jnp.concatenate([h, emb], axis=1)
+        fast_hidden, _ = self.fast_decoder(h)
+        return self.audio_head(fast_hidden[:, -1, :])
+
+    def init_slow_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        return init_kv_cache(self.config.slow, batch, max_len, dtype)
+
+
+# ---------------------------------------------------------------------------
+# HF Qwen2 foundation-weight loading (lm_lit_modules.py:70-92,134-139)
+# ---------------------------------------------------------------------------
+
+
+def load_qwen2_foundation(params: dict, sd: dict, config: SlowFastLMConfig) -> dict:
+    """Merge a HF Qwen2-0.5B state_dict (numpy values, 'model.*' keys) into a
+    ChatMusicLM params tree: decoder weights + text embeddings (row
+    `text_pad_id` zeroed like nn.Embedding padding_idx); the text head gets
+    the tied input embedding (Qwen2-0.5B tie_word_embeddings=true)."""
+    import numpy as np
+
+    from dmel_codec_tpu.models.transformer import decoder_params_from_torch
+    from dmel_codec_tpu.utils.torch_compat import dense_kernel
+
+    out = dict(params)
+    out["slow_decoder"] = decoder_params_from_torch(
+        sd, config.slow, prefix="model."
+    )
+    emb = np.array(sd["model.embed_tokens.weight"])  # [V, H]
+    full = np.asarray(params["text_embed"]["embedding"]).copy()
+    full[: emb.shape[0]] = emb
+    full[config.text_pad_id] = 0.0
+    out["text_embed"] = {"embedding": full}
+    if "lm_head.weight" in sd:
+        out["text_head"] = {"kernel": dense_kernel(sd["lm_head.weight"])}
+    else:  # tied embeddings
+        out["text_head"] = {"kernel": np.ascontiguousarray(emb.T)}
+    return out

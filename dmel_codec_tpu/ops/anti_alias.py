@@ -179,7 +179,11 @@ def fused_anti_alias_activation(
     input-side replication cannot reproduce — 3 frames each side is exactly
     the reach of the 5/6-tap downsample padding.
     """
-    if x.shape[1] < 32:
+    c = x.shape[-1]
+    # Mosaic DMA needs 128-aligned lanes. Below 128 channels the zero-pad
+    # would cost more HBM bandwidth than the fusion saves (the op is
+    # bandwidth-bound) — use the unfused XLA path there.
+    if x.shape[1] < 32 or (not interpret and c < 128):
         return anti_alias_activation_reference(x, alpha, beta, logscale)
     a = jnp.exp(alpha) if logscale else alpha
     if beta is None:
@@ -187,7 +191,14 @@ def fused_anti_alias_activation(
     else:
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
-    y = _fused_forward(x, a, inv_b, interpret=interpret)
+    c_pad = (-c) % 128 if not interpret else 0
+    if c_pad:
+        xw = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad)))
+        aw = jnp.pad(a, (0, c_pad))
+        bw = jnp.pad(inv_b, (0, c_pad))
+        y = _fused_forward(xw, aw, bw, interpret=interpret)[..., :c]
+    else:
+        y = _fused_forward(x, a, inv_b, interpret=interpret)
     head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
     tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
     y = y.at[:, :3, :].set(head[:, :3, :])

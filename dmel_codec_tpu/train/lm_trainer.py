@@ -1,0 +1,216 @@
+"""Slow-fast LM trainer: pjit-able train step with grad accumulation.
+
+Parity with reference models/lm_lit_modules.py:253-365 + config/lm/
+lm_config.yaml:57-77: AdamW lr 1e-4 betas (0.8, 0.99) eps 1e-5, weight
+decay 0.08 EXCEPT biases / norm weights / embeddings (ref :160-188),
+cosine warmup 1000 -> 60k steps floor 0.2, grad-accum 60 (MultiSteps),
+clip-norm 1.0, loss weights text 0.01 / audio 1.0, top-k accuracy metrics
+with ignore ids {-100, slow_audio_pad} (ref :140-158).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from dmel_codec_tpu.models.lm import IGNORE_INDEX, ChatMusicLM, SlowFastLMConfig
+from dmel_codec_tpu.train.schedule import cosine_schedule_with_warmup
+
+
+@dataclasses.dataclass(frozen=True)
+class LMTrainConfig:
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    eps: float = 1e-5
+    weight_decay: float = 0.08
+    grad_clip: float = 1.0
+    num_warmup_steps: int = 1000
+    num_training_steps: int = 60_000
+    final_lr_ratio: float = 0.2
+    accumulate_grad: int = 60
+    topk: Tuple[int, ...] = (1, 5, 10)
+
+
+class LMTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def _decay_mask(params):
+    """True = apply weight decay. No decay for biases, norm weights,
+    embeddings (ref configure_optimizers :160-188)."""
+
+    def fn(path, _):
+        names = [
+            p.key if hasattr(p, "key") else str(p) for p in path
+        ]
+        leaf = names[-1]
+        if leaf == "bias" or leaf == "embedding":
+            return False
+        if leaf == "weight" and any("norm" in n.lower() for n in names):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def topk_accuracy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ks: Tuple[int, ...],
+    ignore_ids: Tuple[int, ...] = (IGNORE_INDEX,),
+) -> Dict[int, jnp.ndarray]:
+    """Shifted next-token top-k accuracy (ref get_accuracy :140-158).
+    logits [..., S, V], labels [..., S]."""
+    logits = logits[..., :-1, :]
+    labels = labels[..., 1:]
+    valid = jnp.ones(labels.shape, bool)
+    for ig in ignore_ids:
+        valid &= labels != ig
+    n_valid = jnp.maximum(valid.sum(), 1)
+    out = {}
+    max_k = max(ks)
+    _, top = jax.lax.top_k(logits, max_k)  # [..., S, max_k]
+    hit = top == labels[..., None]
+    hit = jnp.where(valid[..., None], hit, False)
+    for k in ks:
+        out[k] = hit[..., :k].any(-1).sum() / n_valid
+    return out
+
+
+class LMTrainer:
+    def __init__(
+        self,
+        lm_config: SlowFastLMConfig = SlowFastLMConfig(text_weight=0.01),
+        train_config: LMTrainConfig = LMTrainConfig(),
+    ):
+        self.lm_config = lm_config
+        self.config = train_config
+        self.model = ChatMusicLM(config=lm_config)
+        c = train_config
+        self.schedule = cosine_schedule_with_warmup(
+            c.learning_rate,
+            c.num_warmup_steps,
+            c.num_training_steps,
+            final_lr_ratio=c.final_lr_ratio,
+        )
+
+    def make_optimizer(self, params) -> optax.GradientTransformation:
+        c = self.config
+        tx = optax.chain(
+            optax.clip_by_global_norm(c.grad_clip),
+            optax.adamw(
+                self.schedule,
+                b1=c.betas[0],
+                b2=c.betas[1],
+                eps=c.eps,
+                weight_decay=c.weight_decay,
+                mask=_decay_mask(params),
+            ),
+        )
+        if c.accumulate_grad > 1:
+            tx = optax.MultiSteps(tx, c.accumulate_grad)
+        return tx
+
+    def init_state(self, rng: jax.Array, seq_len: int = 16) -> LMTrainState:
+        cfg = self.lm_config
+        text = jnp.zeros((1, seq_len), jnp.int32)
+        audio = jnp.zeros((1, seq_len, cfg.audio_codebook_count), jnp.int32)
+        embeds = jnp.zeros((1, seq_len, cfg.slow.hidden_size))
+        labels_t = jnp.zeros((1, seq_len), jnp.int32)
+        labels_a = jnp.zeros((1, seq_len, cfg.audio_codebook_count), jnp.int32)
+
+        def init_fn(rng):
+            model = self.model
+            p1 = model.init(rng, embeds, labels_t, labels_a)["params"]
+            return p1
+
+        params = init_fn(rng)
+        # ensure embed tables exist (embed_inputs path shares the module)
+        params = self.model.init(
+            rng, text, audio, method=ChatMusicLM.embed_inputs
+        )["params"] | params
+        self._tx = self.make_optimizer(params)
+        return LMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self._tx.init(params),
+        )
+
+    def loss_fn(self, params, batch):
+        embeds = self.model.apply(
+            {"params": params},
+            batch["text_tokens"],
+            batch["audio_tokens"],
+            method=ChatMusicLM.embed_inputs,
+        )
+        embeds = embeds * batch["valid"][..., None]
+        out = self.model.apply(
+            {"params": params}, embeds, batch["text_labels"], batch["audio_labels"]
+        )
+        return out["loss"], out
+
+    def train_step(
+        self, state: LMTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[LMTrainState, Dict[str, jnp.ndarray]]:
+        (loss, out), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        cfg = self.lm_config
+        b, s = batch["text_labels"].shape
+        c = cfg.audio_codebook_count
+        depth_labels = jnp.concatenate(
+            [
+                batch["text_labels"][:, 1:].reshape(b * (s - 1), 1),
+                batch["audio_labels"][:, 1:, :].reshape(b * (s - 1), c),
+            ],
+            axis=1,
+        )
+        acc = topk_accuracy(
+            out["audio_logits"],
+            depth_labels,
+            self.config.topk,
+            ignore_ids=(IGNORE_INDEX, cfg.slow_audio_pad_id),
+        )
+        metrics = {
+            "train/loss": loss,
+            "train/text_loss": out["text_loss"],
+            "train/audio_loss": out["audio_loss"],
+            "train/lr": self.schedule(state.step // max(1, self.config.accumulate_grad)),
+        }
+        metrics |= {f"train/audio_top{k}_acc": v for k, v in acc.items()}
+        return (
+            LMTrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    def jit_train_step(self, mesh=None):
+        if mesh is None:
+            return jax.jit(self.train_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            self.train_step,
+            in_shardings=(
+                repl,
+                {
+                    "text_tokens": data,
+                    "audio_tokens": data,
+                    "text_labels": data,
+                    "audio_labels": data,
+                    "valid": data,
+                },
+            ),
+            out_shardings=(repl, repl),
+        )

@@ -1,0 +1,144 @@
+"""Uniform codec adapter API (the reference's codec zoo, C25).
+
+Parity with reference evaluation/initial_codec.py:7-325: one facade with
+encode / decode / rec_audio_from_audio / latent extraction per codec.
+'dmel' is this framework's own stack; the external codecs (DAC,
+SpeechTokenizer, Mimi, fish-speech) require packages/weights that do not
+ship here — their constructors raise with install hints, keeping the
+registry shape identical for downstream harness code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
+from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
+
+
+class DMelCodecAdapter:
+    """numpy-in/numpy-out facade over DMelCodec (+ optional BigVGAN)."""
+
+    name = "dmel"
+
+    def __init__(
+        self,
+        codec_params,
+        codec_config: DMelCodecConfig = DMelCodecConfig(),
+        vocoder_params=None,
+        vocoder_config: Optional[BigVGANConfig] = None,
+        seed: int = 0,
+    ):
+        self.config = codec_config
+        self.codec = DMelCodec(config=codec_config)
+        self.params = codec_params
+        self.mel_tf = LogMelSpectrogram(
+            sample_rate=codec_config.sample_rate,
+            hop_length=codec_config.hop_length,
+            n_mels=codec_config.n_mels,
+        )
+        self.vocoder = None
+        self.vocoder_params = None
+        if vocoder_params is not None:
+            self.vocoder = BigVGAN(config=vocoder_config or BigVGANConfig())
+            self.vocoder_params = vocoder_params
+        self._rng = jax.random.PRNGKey(seed)
+
+        self._encode = jax.jit(
+            lambda mels, lengths: self.codec.apply(
+                {"params": self.params}, mels, lengths, method=DMelCodec.encode
+            )
+        )
+        self._decode_mel = jax.jit(
+            lambda idx, lengths, noise: self.codec.apply(
+                {"params": self.params}, idx, lengths, noise, method=DMelCodec.decode
+            )
+        )
+        self._latent = jax.jit(
+            lambda mels, lengths: self.codec.apply(
+                {"params": self.params},
+                mels,
+                lengths,
+                method=DMelCodec.encode_unquantized,
+            )[0]
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def _mels(self, audio: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        mels = self.mel_tf(jnp.asarray(audio))
+        f = self.config.downsample_total
+        t = (mels.shape[1] // f) * f
+        lengths = jnp.full((audio.shape[0],), t, jnp.int32)
+        return mels[:, :t], lengths
+
+    def encode(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (indices [B, G*R, L], lengths [B])."""
+        mels, lengths = self._mels(audio)
+        idx, idx_len = self._encode(mels, lengths)
+        return np.asarray(idx), np.asarray(idx_len)
+
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """indices -> (audio [B, T] (zeros if no vocoder), mel [B, F, M])."""
+        indices = jnp.asarray(indices)
+        if lengths is None:
+            lengths = jnp.full((indices.shape[0],), indices.shape[2], jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths)
+        t = indices.shape[2] * self.config.downsample_total
+        self._rng, k = jax.random.split(self._rng)
+        noise = jax.random.normal(
+            k, (indices.shape[0], t, self.config.concat_dim)
+        )
+        mel = self._decode_mel(indices, lengths, noise)
+        if self.vocoder is None:
+            return np.zeros((indices.shape[0], 0), np.float32), np.asarray(mel)
+        wav = self.vocoder.apply({"params": self.vocoder_params}, mel)
+        return np.asarray(wav), np.asarray(mel)
+
+    def rec_audio_from_audio(self, audio: np.ndarray) -> np.ndarray:
+        idx, lengths = self.encode(audio)
+        wav, _ = self.decode(idx, lengths)
+        return wav
+
+    def get_latent(self, audio: np.ndarray) -> np.ndarray:
+        """Unquantized encoder features [B*G, T, res] (ref latent path)."""
+        mels, lengths = self._mels(audio)
+        return np.asarray(self._latent(mels, lengths))
+
+
+def _unavailable(name: str, hint: str) -> Callable:
+    def ctor(*_args, **_kwargs):
+        raise ImportError(
+            f"codec '{name}' needs external packages/weights not present in "
+            f"this environment: {hint}"
+        )
+
+    return ctor
+
+
+CODEC_REGISTRY: Dict[str, Callable] = {
+    "dmel": DMelCodecAdapter,
+    "dac": _unavailable("dac", "pip install descript-audio-codec + weights"),
+    "speechtokenizer": _unavailable(
+        "speechtokenizer", "pip install speechtokenizer + weights"
+    ),
+    "mimi": _unavailable("mimi", "HF transformers MimiModel weights"),
+    "fishspeech": _unavailable("fishspeech", "fish-speech checkpoint"),
+}
+
+
+def make_codec(name: str, *args, **kwargs):
+    if name not in CODEC_REGISTRY:
+        raise KeyError(f"unknown codec '{name}'; have {sorted(CODEC_REGISTRY)}")
+    return CODEC_REGISTRY[name](*args, **kwargs)

@@ -1,0 +1,110 @@
+"""Codec evaluation harness: batch loop + metric aggregation.
+
+Parity with reference evaluation/evaluation.py:16-159: iterate a test set,
+reconstruct through a codec adapter, compute per-batch metrics, aggregate
+means. Native metrics (mel L1, SI-SNR, STOI, F0 corr, codebook entropy)
+always run; ASR-WER / PESQ / speaker-sim attach when their external
+models are available (eval/external.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from dmel_codec_tpu.data.audio import resample_audio
+from dmel_codec_tpu.eval import metrics as M
+from dmel_codec_tpu.eval.external import WhisperASR, asr_wer
+
+
+@dataclasses.dataclass
+class EvalResult:
+    means: Dict[str, float]
+    per_batch: List[Dict[str, float]]
+
+
+class Evaluation:
+    def __init__(
+        self,
+        codec,
+        asr: Optional[WhisperASR] = None,
+        compute_pesq: bool = False,
+        compute_spk_sim: bool = False,
+    ):
+        self.codec = codec
+        self.asr = asr
+        self.compute_pesq = compute_pesq
+        self.compute_spk_sim = compute_spk_sim
+
+    def step(self, batch: Dict) -> Dict[str, float]:
+        """batch: {'audios' [B, T], 'audio_lengths' [B], 'texts': [...]}"""
+        gt = np.asarray(batch["audios"], np.float32)
+        lengths = np.asarray(batch["audio_lengths"])
+        sr = self.codec.sample_rate
+
+        indices, idx_lengths = self.codec.encode(gt)
+        rec, rec_mel = self.codec.decode(indices, idx_lengths)
+
+        out: Dict[str, float] = {}
+        n = min(gt.shape[-1], rec.shape[-1]) if rec.size else 0
+        if not n:
+            # vocoder-less adapter: compare in the mel domain directly
+            import jax.numpy as jnp
+
+            gt_mel = np.asarray(self.codec.mel_tf(jnp.asarray(gt)))
+            f = min(gt_mel.shape[1], rec_mel.shape[1])
+            out["mel_l1"] = float(
+                np.abs(gt_mel[:, :f] - np.asarray(rec_mel)[:, :f]).mean()
+            )
+        if n:
+            g, r = gt[..., :n], rec[..., :n]
+            out["si_snr"] = M.si_snr(g, r)
+            out["mel_l1"] = M.mel_l1_distance(g, r, sr)
+            stois = [M.stoi(g[i, : lengths[i]], r[i, : lengths[i]], sr) for i in range(len(g))]
+            stois = [s for s in stois if np.isfinite(s)]
+            if stois:
+                out["stoi"] = float(np.mean(stois))
+            f0s = [M.f0_corr(g[i, : lengths[i]], r[i, : lengths[i]], sr) for i in range(len(g))]
+            f0s = [f for f in f0s if np.isfinite(f)]
+            if f0s:
+                out["f0_corr"] = float(np.mean(f0s))
+
+        entropy = M.codebook_usage_entropy(indices, self.codec.config.codebook_size)
+        out["codebook_entropy_mean"] = float(np.mean(entropy))
+
+        if self.asr is not None and n and batch.get("texts"):
+            gt16 = [resample_audio(gt[i, : lengths[i]], sr, 16000) for i in range(len(gt))]
+            rec16 = [resample_audio(rec[i, : lengths[i]], sr, 16000) for i in range(len(gt))]
+            wer_gt, wer_rec = asr_wer(self.asr, gt16, rec16, list(batch["texts"]))
+            out["wer_gt"], out["wer_rec"] = wer_gt, wer_rec
+
+        if self.compute_pesq and n:
+            from dmel_codec_tpu.eval.external import pesq_wb_16k
+
+            vals = []
+            for i in range(len(gt)):
+                g16 = resample_audio(gt[i, : lengths[i]], sr, 16000)
+                r16 = resample_audio(rec[i, : lengths[i]], sr, 16000)
+                vals.append(pesq_wb_16k(g16, r16))
+            out["pesq"] = float(np.mean(vals))
+
+        if self.compute_spk_sim and n:
+            from dmel_codec_tpu.eval.external import speaker_similarity
+
+            sims = []
+            for i in range(len(gt)):
+                g16 = resample_audio(gt[i, : lengths[i]], sr, 16000)
+                r16 = resample_audio(rec[i, : lengths[i]], sr, 16000)
+                sims.append(speaker_similarity(g16, r16))
+            out["spk_sim"] = float(np.mean(sims))
+        return out
+
+    def run(self, batches: Iterable[Dict]) -> EvalResult:
+        per_batch = [self.step(b) for b in batches]
+        keys = {k for b in per_batch for k in b}
+        means = {
+            k: float(np.mean([b[k] for b in per_batch if k in b])) for k in keys
+        }
+        return EvalResult(means=means, per_batch=per_batch)

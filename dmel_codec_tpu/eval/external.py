@@ -1,0 +1,94 @@
+"""Optional external-model metrics (ASR-WER, PESQ, speaker similarity).
+
+The reference binds these to whisper/jiwer (evaluation_utils.py:36-73),
+torchmetrics-pesq (:154-187) and speechbrain ECAPA (:108-130). None of
+those packages/weights ship in this environment, so each entry point
+degrades with an actionable error instead of an import crash; when the
+dependency IS present the same API works.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from dmel_codec_tpu.eval.metrics import wer
+
+
+class WhisperASR:
+    """Transcribe via a LOCAL HF Whisper checkpoint (transformers is baked
+    in; weights must exist on disk — zero-egress environment)."""
+
+    def __init__(self, model_path: str, device: str = "cpu"):
+        try:
+            from transformers import WhisperForConditionalGeneration, WhisperProcessor
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "transformers is required for ASR-based WER"
+            ) from e
+        self.processor = WhisperProcessor.from_pretrained(model_path)
+        self.model = (
+            WhisperForConditionalGeneration.from_pretrained(model_path)
+            .to(device)
+            .eval()
+        )
+        self.device = device
+
+    def transcribe(self, audios_16k: List[np.ndarray]) -> List[str]:
+        import torch
+
+        feats = self.processor(
+            [np.asarray(a, np.float32) for a in audios_16k],
+            sampling_rate=16000,
+            return_tensors="pt",
+        ).input_features.to(self.device)
+        with torch.no_grad():
+            ids = self.model.generate(feats)
+        return self.processor.batch_decode(ids, skip_special_tokens=True)
+
+
+def asr_wer(
+    asr: WhisperASR,
+    gt_audios_16k: List[np.ndarray],
+    rec_audios_16k: List[np.ndarray],
+    gt_texts: List[str],
+):
+    """(wer_gt, wer_rec) — reference wer() semantics (:36-73)."""
+    gt_hyp = asr.transcribe(gt_audios_16k)
+    rec_hyp = asr.transcribe(rec_audios_16k)
+    return wer(gt_texts, gt_hyp), wer(gt_texts, rec_hyp)
+
+
+def pesq_wb_16k(target_16k: np.ndarray, estimate_16k: np.ndarray) -> float:
+    """Wide-band PESQ at 16 kHz via the `pesq` package (not bundled)."""
+    try:
+        from pesq import pesq as _pesq
+    except ImportError as e:
+        raise ImportError(
+            "PESQ needs the `pesq` package (ITU-T P.862 implementation); "
+            "pip install pesq in an environment with network access"
+        ) from e
+    return float(_pesq(16000, np.asarray(target_16k), np.asarray(estimate_16k), "wb"))
+
+
+def speaker_similarity(
+    gt_audio_16k: np.ndarray, rec_audio_16k: np.ndarray, model_source: Optional[str] = None
+) -> float:
+    """ECAPA cosine speaker similarity via speechbrain (not bundled)."""
+    try:
+        import torch
+        from speechbrain.inference.speaker import EncoderClassifier
+    except ImportError as e:
+        raise ImportError(
+            "speaker similarity needs `speechbrain` and its ECAPA weights; "
+            "pip install speechbrain in an environment with network access"
+        ) from e
+    model = EncoderClassifier.from_hparams(
+        source=model_source or "speechbrain/spkrec-ecapa-voxceleb"
+    )
+    gt = torch.from_numpy(np.atleast_2d(gt_audio_16k).astype(np.float32))
+    rec = torch.from_numpy(np.atleast_2d(rec_audio_16k).astype(np.float32))
+    a = model.encode_batch(gt)
+    b = model.encode_batch(rec)
+    return float(torch.nn.functional.cosine_similarity(a, b, dim=-1).mean())

@@ -1,0 +1,43 @@
+"""Shared CLI helpers: checkpoint -> adapter/params loading."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from dmel_codec_tpu.eval.codecs import DMelCodecAdapter
+from dmel_codec_tpu.models.bigvgan import BigVGANConfig, load_torch_checkpoint
+from dmel_codec_tpu.models.codec import DMelCodecConfig
+from dmel_codec_tpu.train.checkpoint import CheckpointManager
+from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
+
+
+def load_codec_state(ckpt_dir: str, codec_cfg: Optional[DMelCodecConfig] = None):
+    """Restore the newest CodecTrainState from an orbax directory."""
+    trainer = CodecTrainer(codec_cfg or DMelCodecConfig(), CodecTrainConfig())
+    abstract = trainer.init_state(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore_latest(abstract)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint found under {ckpt_dir}")
+    return trainer, state
+
+
+def load_codec_adapter(
+    ckpt_dir: str,
+    codec_cfg: Optional[DMelCodecConfig] = None,
+    vocoder_ckpt: Optional[str] = None,
+    vocoder_cfg: Optional[BigVGANConfig] = None,
+) -> DMelCodecAdapter:
+    _, state = load_codec_state(ckpt_dir, codec_cfg)
+    vocoder_params = None
+    if vocoder_ckpt:
+        vocoder_cfg = vocoder_cfg or BigVGANConfig()
+        vocoder_params = load_torch_checkpoint(vocoder_ckpt, vocoder_cfg)
+    return DMelCodecAdapter(
+        state.gen_params,
+        codec_cfg or DMelCodecConfig(),
+        vocoder_params=vocoder_params,
+        vocoder_config=vocoder_cfg,
+    )

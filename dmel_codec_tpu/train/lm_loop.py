@@ -1,0 +1,82 @@
+"""LM fit loop: token-grid batches -> jitted LM train step (C2/C10 glue)."""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmel_codec_tpu.parallel import data_mesh, shard_batch
+from dmel_codec_tpu.train.checkpoint import CheckpointManager
+from dmel_codec_tpu.train.lm_trainer import LMTrainer, LMTrainState
+from dmel_codec_tpu.train.loop import FitConfig
+from dmel_codec_tpu.utils.logging import MetricsWriter, RankedLogger
+
+log = RankedLogger(__name__)
+
+_BATCH_KEYS = ("text_tokens", "audio_tokens", "text_labels", "audio_labels", "valid")
+
+
+class LMFitLoop:
+    def __init__(
+        self,
+        trainer: LMTrainer,
+        train_batches: Callable[[int], Iterable[dict]],
+        val_batches: Optional[Callable[[], Iterable[dict]]] = None,
+        fit_config: FitConfig = FitConfig(),
+    ):
+        self.trainer = trainer
+        self.train_batches = train_batches
+        self.val_batches = val_batches
+        self.cfg = fit_config
+
+    def _device_batch(self, batch: dict) -> dict:
+        return {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS}
+
+    def run(self, state: Optional[LMTrainState] = None) -> LMTrainState:
+        cfg = self.cfg
+        mesh = data_mesh() if cfg.use_mesh else None
+        writer = MetricsWriter(cfg.log_dir)
+        ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.keep_checkpoints)
+
+        if state is None:
+            state = self.trainer.init_state(jax.random.PRNGKey(cfg.seed))
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state = restored
+                log.info(f"resumed from checkpoint step {int(state.step)}")
+
+        step_fn = self.trainer.jit_train_step(mesh)
+        loss_fn = jax.jit(self.trainer.loss_fn)
+
+        step = int(state.step)
+        epoch = 0
+        while step < cfg.max_steps:
+            for batch in self.train_batches(epoch):
+                db = self._device_batch(batch)
+                if mesh is not None:
+                    db = shard_batch(db, mesh)
+                state, metrics = step_fn(state, db)
+                step = int(state.step)
+                if step % cfg.log_every == 0:
+                    writer.scalars(step, {k: float(v) for k, v in metrics.items()})
+                if self.val_batches is not None and step % cfg.val_interval == 0:
+                    losses = []
+                    for i, vb in enumerate(self.val_batches()):
+                        if i >= cfg.max_val_batches:
+                            break
+                        loss, _ = loss_fn(state.params, self._device_batch(vb))
+                        losses.append(float(loss))
+                    if losses:
+                        writer.scalars(step, {"val/audio_loss": float(np.mean(losses))})
+                        log.info(f"step {step}: val loss {np.mean(losses):.4f}")
+                    ckpt.save(step, state)
+                if step >= cfg.max_steps:
+                    break
+            epoch += 1
+        ckpt.save(step, state)
+        ckpt.wait()
+        writer.close()
+        return state

@@ -15,6 +15,10 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +29,7 @@ from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
 BASELINE_XRT = 50.0
 BATCH = 4
 SECONDS = 4
+DTYPE = jnp.bfloat16  # serving precision (the reference casts to bf16 too)
 
 
 def main() -> None:
@@ -54,11 +59,17 @@ def main() -> None:
     )["params"]
     vparams = vocoder.init(jax.random.PRNGKey(1), mels0[:1, :8])["params"]
     lengths = jnp.full((BATCH,), frames, jnp.int32)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (BATCH, frames, cfg.concat_dim))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (BATCH, frames, cfg.concat_dim), dtype=DTYPE
+    )
+    from dmel_codec_tpu.utils.torch_compat import cast_floats
+
+    params = cast_floats(params, DTYPE)
+    vparams = cast_floats(vparams, DTYPE)
 
     @jax.jit
     def pipeline(params, vparams, audio, noise):
-        mels = mel_tf(audio)[:, :frames, :]
+        mels = mel_tf(audio)[:, :frames, :].astype(DTYPE)  # front end f32
         indices, idx_lengths = codec.apply(
             {"params": params}, mels, lengths, method=DMelCodec.encode
         )

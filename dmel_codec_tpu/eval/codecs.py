@@ -33,9 +33,19 @@ class DMelCodecAdapter:
         vocoder_params=None,
         vocoder_config: Optional[BigVGANConfig] = None,
         seed: int = 0,
+        dtype=None,
     ):
+        """dtype: jnp.bfloat16 casts all float params/activations for
+        serving (the reference's encode_dtype / model_dtype casts)."""
         self.config = codec_config
         self.codec = DMelCodec(config=codec_config)
+        self.dtype = dtype
+        if dtype is not None:
+            from dmel_codec_tpu.utils.torch_compat import cast_floats
+
+            codec_params = cast_floats(codec_params, dtype)
+            if vocoder_params is not None:
+                vocoder_params = cast_floats(vocoder_params, dtype)
         self.params = codec_params
         self.mel_tf = LogMelSpectrogram(
             sample_rate=codec_config.sample_rate,
@@ -74,7 +84,9 @@ class DMelCodecAdapter:
 
     def _mels(self, audio: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         audio = np.atleast_2d(np.asarray(audio, np.float32))
-        mels = self.mel_tf(jnp.asarray(audio))
+        mels = self.mel_tf(jnp.asarray(audio))  # mel front end stays f32
+        if self.dtype is not None:
+            mels = mels.astype(self.dtype)
         f = self.config.downsample_total
         t = (mels.shape[1] // f) * f
         lengths = jnp.full((audio.shape[0],), t, jnp.int32)
@@ -98,13 +110,15 @@ class DMelCodecAdapter:
         t = indices.shape[2] * self.config.downsample_total
         self._rng, k = jax.random.split(self._rng)
         noise = jax.random.normal(
-            k, (indices.shape[0], t, self.config.concat_dim)
+            k,
+            (indices.shape[0], t, self.config.concat_dim),
+            dtype=self.dtype or jnp.float32,
         )
         mel = self._decode_mel(indices, lengths, noise)
         if self.vocoder is None:
             return np.zeros((indices.shape[0], 0), np.float32), np.asarray(mel)
         wav = self.vocoder.apply({"params": self.vocoder_params}, mel)
-        return np.asarray(wav), np.asarray(mel)
+        return np.asarray(wav, dtype=np.float32), np.asarray(mel)
 
     def rec_audio_from_audio(self, audio: np.ndarray) -> np.ndarray:
         idx, lengths = self.encode(audio)

@@ -52,8 +52,9 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
     return filt.astype(np.float32)
 
 
-def _depthwise_kernel(filt: jnp.ndarray, channels: int) -> jnp.ndarray:
+def _depthwise_kernel(filt: jnp.ndarray, channels: int, dtype=None) -> jnp.ndarray:
     # [k] -> [k, 1, C]
+    filt = filt.astype(dtype) if dtype is not None else filt
     return jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, channels))
 
 
@@ -72,7 +73,7 @@ def upsample1d(x: jnp.ndarray, filt: jnp.ndarray, ratio: int = 2, kernel_size: i
     x = _replicate_pad_time(x, pad, pad)
     # torch conv_transpose1d(filter f) == true convolution: cross-correlate
     # against the flipped kernel over the ratio-dilated input, full padding.
-    kernel = _depthwise_kernel(jnp.flip(filt, 0), channels)
+    kernel = _depthwise_kernel(jnp.flip(filt, 0), channels, x.dtype)
     y = jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -95,7 +96,7 @@ def downsample1d(x: jnp.ndarray, filt: jnp.ndarray, ratio: int = 2, kernel_size:
     pad_left = kernel_size // 2 - int(even)
     pad_right = kernel_size // 2
     x = _replicate_pad_time(x, pad_left, pad_right)
-    kernel = _depthwise_kernel(filt, channels)
+    kernel = _depthwise_kernel(filt, channels, x.dtype)
     return jax.lax.conv_general_dilated(
         x,
         kernel,

@@ -44,18 +44,25 @@ from dmel_codec_tpu.nn.resample import downsample1d, kaiser_sinc_filter1d, upsam
 from dmel_codec_tpu.nn.snake import snake, snake_beta
 
 _KS = 12
-_HALO = 8  # input halo per side; 6 taps needed, 8 keeps slices 8-aligned
+
+
+def _halo(dtype) -> int:
+    """Input halo per side: 6 taps needed, rounded up to the sublane tile
+    (8 for fp32, 16 for bf16) so every DMA slice / vector slice is aligned."""
+    import jax.numpy as _jnp
+
+    return 16 if _jnp.dtype(dtype).itemsize < 4 else 8
 _FILT = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, _KS)  # [12], numpy
 
 _SNAKE_EPS = 1e-9
 
 
-def _pick_tile(t: int, channels: int) -> int:
-    """Time-tile length: ~1 MiB of fp32 per [TT, C] buffer, multiple of 8."""
+def _pick_tile(t: int, channels: int, align: int = 8) -> int:
+    """Time-tile length: ~1 MiB per [TT, C] buffer, multiple of `align`."""
     budget = (1 << 18) // max(channels, 1)
-    tt = max(8, min(2048, budget))
-    tt = (tt // 8) * 8
-    return min(tt, max(8, ((t + 7) // 8) * 8))
+    tt = max(align, min(2048, budget))
+    tt = (tt // align) * align
+    return min(tt, max(align, ((t + align - 1) // align) * align))
 
 
 def _shift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -65,24 +72,25 @@ def _shift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
     return pltpu.roll(arr, (-k) % arr.shape[0], 0)
 
 
-def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
+def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int, halo: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Haloed input slice: local index j <-> global x[i*tile - 8 + j].
-    # Slice offset/length are multiples of 8 (Mosaic sublane tiling).
+    # Haloed input slice: local index j <-> global x[i*tile - halo + j].
+    # Slice offset/length are multiples of the sublane tile.
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, tile + 2 * _HALO), :],
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
         scratch,
         sem,
     )
     copy.start()
     copy.wait()
 
-    xt = scratch[:]  # [L, C], L = tile + 16
+    # loads stay in the storage dtype (bandwidth); math runs in f32
+    xt = scratch[:].astype(jnp.float32)  # [L, C], L = tile + 2*halo
 
     # Upsample phases at full length: u_even[j] = u[2s], u_odd[j] = u[2s+1]
-    # for s = t0 - 8 + j. Circular wrap from the rolls only pollutes rows
+    # for s = t0 - halo + j. Circular wrap from the rolls only pollutes rows
     # outside the ranges consumed below.
     u_even = jnp.zeros_like(xt)
     u_odd = jnp.zeros_like(xt)
@@ -93,8 +101,8 @@ def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
         u_odd = u_odd + fo * _shift(xt, 3 - i_tap)
 
     # snake / snakebeta (alpha, 1/beta precomputed by the wrapper)
-    alpha = alpha_ref[0, :]
-    inv_beta = beta_ref[0, :]
+    alpha = alpha_ref[0, :].astype(jnp.float32)
+    inv_beta = beta_ref[0, :].astype(jnp.float32)
     se = jnp.sin(u_even * alpha)
     so = jnp.sin(u_odd * alpha)
     v_even = u_even + inv_beta * se * se
@@ -107,7 +115,7 @@ def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
         fo = float(_FILT[2 * i_tap])
         y = y + fe * _shift(v_even, i_tap - 2)
         y = y + fo * _shift(v_odd, i_tap - 3)
-    out_ref[0, :, :] = y[_HALO : _HALO + tile, :]
+    out_ref[0, :, :] = y[halo : halo + tile, :].astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -118,16 +126,17 @@ def _fused_forward(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, c = x.shape
-    tile = _pick_tile(t, c)
+    halo = _halo(x.dtype)
+    tile = _pick_tile(t, c, align=halo)
     n_tiles = pl.cdiv(t, tile)
 
     # Replicate-pad the halo; extend the tail so every tile's DMA is in
     # bounds (tail garbage lands in clipped output rows only).
-    pad_tail = n_tiles * tile - t + _HALO
-    xp = jnp.pad(x, ((0, 0), (_HALO, pad_tail), (0, 0)), mode="edge")
+    pad_tail = n_tiles * tile - t + halo
+    xp = jnp.pad(x, ((0, 0), (halo, pad_tail), (0, 0)), mode="edge")
 
     return pl.pallas_call(
-        partial(_kernel, tile=tile),
+        partial(_kernel, tile=tile, halo=halo),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
@@ -139,7 +148,7 @@ def _fused_forward(
             (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _HALO, c), x.dtype),
+            pltpu.VMEM((tile + 2 * halo, c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -201,8 +210,8 @@ def fused_anti_alias_activation(
         y = _fused_forward(x, a, inv_b, interpret=interpret)
     head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
     tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
-    y = y.at[:, :3, :].set(head[:, :3, :])
-    y = y.at[:, -3:, :].set(tail[:, -3:, :])
+    y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
+    y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
     return y
 
 

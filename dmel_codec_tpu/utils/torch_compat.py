@@ -54,3 +54,21 @@ def fold_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
     flat = weight_v.reshape(weight_v.shape[0], -1)
     norm = np.linalg.norm(flat, axis=1).reshape((-1,) + (1,) * (weight_v.ndim - 1))
     return weight_g * weight_v / norm
+
+
+def cast_floats(tree, dtype):
+    """Cast floating-point leaves of a pytree (params) to `dtype`.
+
+    Inference-precision switch: the reference casts the whole codec/LM to
+    bfloat16 for serving (lm_lit_modules.py:115-121, encode_unquantized's
+    encode_dtype cast). Integer leaves are untouched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)

@@ -33,7 +33,7 @@ DTYPE = jnp.bfloat16  # serving precision (the reference casts to bf16 too)
 
 
 def main() -> None:
-    cfg = DMelCodecConfig()
+    cfg = DMelCodecConfig(compute_dtype="bfloat16")
     vcfg = BigVGANConfig(use_pallas_kernel=jax.devices()[0].platform == "tpu")
     codec = DMelCodec(config=cfg)
     vocoder = BigVGAN(config=vcfg)

@@ -120,3 +120,17 @@ def prepare_manifests(
         np.random.default_rng(shuffle_seed).shuffle(cuts)
     save_manifest(cuts, out_path)
     return duration_stats(cuts)
+
+
+def sort_cuts_by_duration(
+    in_path: str, out_path: str, descending: bool = False
+) -> int:
+    """Sort a cut manifest by duration (reference dataset/sort_cuts.py:6-50;
+    the reference shards + multiprocesses because lhotse cuts are heavy —
+    plain dataclass cuts sort in memory). Returns the number of cuts."""
+    from dmel_codec_tpu.data.manifest import load_manifest, save_manifest
+
+    cuts = load_manifest(in_path)
+    cuts.sort(key=lambda c: c.duration, reverse=descending)
+    save_manifest(cuts, out_path)
+    return len(cuts)

@@ -37,6 +37,12 @@ class DMelCodecAdapter:
     ):
         """dtype: jnp.bfloat16 casts all float params/activations for
         serving (the reference's encode_dtype / model_dtype casts)."""
+        if dtype is not None:
+            import dataclasses as _dc
+
+            codec_config = _dc.replace(
+                codec_config, compute_dtype=str(jnp.dtype(dtype))
+            )
         self.config = codec_config
         self.codec = DMelCodec(config=codec_config)
         self.dtype = dtype

@@ -296,3 +296,31 @@ def load_torch_checkpoint(path: str, config: BigVGANConfig) -> dict:
     return params_from_torch_state_dict(
         {k: v.numpy() for k, v in sd.items()}, config
     )
+
+
+def from_pretrained(model_dir: str):
+    """Load a local BigVGAN release dir (config.json + bigvgan_generator.pt)
+    — the offline analogue of the reference's HF-hub _from_pretrained
+    (bigvgan.py:420-499). Returns (BigVGAN module, params)."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        h = json.load(f)
+    config = BigVGANConfig(
+        num_mels=h["num_mels"],
+        upsample_rates=tuple(h["upsample_rates"]),
+        upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+        upsample_initial_channel=h["upsample_initial_channel"],
+        resblock=str(h["resblock"]),
+        resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+        activation=h["activation"],
+        snake_logscale=bool(h["snake_logscale"]),
+        use_bias_at_final=bool(h.get("use_bias_at_final", True)),
+        use_tanh_at_final=bool(h.get("use_tanh_at_final", True)),
+    )
+    params = load_torch_checkpoint(
+        os.path.join(model_dir, "bigvgan_generator.pt"), config
+    )
+    return BigVGAN(config=config), params

@@ -52,6 +52,9 @@ class DMelCodecConfig:
     levels: Tuple[int, ...] = (7, 5, 5)
     n_codebooks: int = 1
     downsample_factor: Tuple[int, ...] = (2, 2)
+    # serving activation dtype for decode-from-indices ("bfloat16" casts the
+    # upsample/decoder path; the reference's encode_dtype knob, :47-57)
+    compute_dtype: Optional[str] = None
 
     @property
     def band_mels(self) -> int:
@@ -212,7 +215,12 @@ class DMelCodec(nn.Module):
         factor = self.config.downsample_total
         t = indices.shape[2] * factor
         mel_masks = sequence_mask(feature_lengths * factor, t)[..., None]
-        z = self.quantizer.decode(indices)
+        dtype = (
+            jnp.dtype(self.config.compute_dtype)
+            if self.config.compute_dtype
+            else None
+        )
+        z = self.quantizer.decode(indices, dtype=dtype)
         mel_masks = mel_masks.astype(z.dtype)
         z = z * mel_masks
         quality = jnp.full((z.shape[0], 1), 2.0, dtype=z.dtype)

@@ -160,13 +160,18 @@ class DownsampleFiniteScalarQuantize(nn.Module):
         # "g b l r -> b (g r) l"
         return indices.transpose(1, 0, 3, 2).reshape(b, g * r, l)
 
-    def decode(self, indices: jnp.ndarray) -> jnp.ndarray:
-        """indices [B, G*R, L] -> features [B, L*prod(factors), G*f]."""
+    def decode(self, indices: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        """indices [B, G*R, L] -> features [B, L*prod(factors), G*f].
+
+        dtype: activation dtype for the upsample stack (FSQ lookup itself
+        stays f32-exact); pass e.g. bfloat16 for serving."""
         b, gr, l = indices.shape
         g = self.n_groups
         r = gr // g
         grouped = indices.reshape(b, g, r, l).transpose(1, 0, 3, 2)  # [G, B, L, R]
         z_q = self.residual_fsq.decode(grouped)  # [B, L, dim]
+        if dtype is not None:
+            z_q = z_q.astype(dtype)
         if self.is_dmel:
             z_q = self._grouped_to_bands(z_q)
         z_q = self._upsample(z_q)

@@ -34,6 +34,10 @@ class LMTrainConfig:
     final_lr_ratio: float = 0.2
     accumulate_grad: int = 60
     topk: Tuple[int, ...] = (1, 5, 10)
+    # >0 wraps the optimizer in optax.apply_if_finite: non-finite updates
+    # are dropped (up to N consecutive) — the jit-able analogue of the
+    # reference's exception-swallowing train step (lm_lit_modules.py:361-365)
+    skip_nonfinite_updates: int = 0
 
 
 class LMTrainState(flax.struct.PyTreeNode):
@@ -116,6 +120,8 @@ class LMTrainer:
         )
         if c.accumulate_grad > 1:
             tx = optax.MultiSteps(tx, c.accumulate_grad)
+        if c.skip_nonfinite_updates > 0:
+            tx = optax.apply_if_finite(tx, c.skip_nonfinite_updates)
         return tx
 
     def init_state(self, rng: jax.Array, seq_len: int = 16) -> LMTrainState:

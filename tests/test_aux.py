@@ -1,0 +1,91 @@
+"""Auxiliary components: reference encoder, sort-cuts, profiling, nan-skip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dmel_codec_tpu.data.manifest import Cut, load_manifest, save_manifest
+from dmel_codec_tpu.data.preprocess import sort_cuts_by_duration
+from dmel_codec_tpu.models.reference_encoder import ReferenceEncoder
+
+
+def test_reference_encoder_forward_and_grad(rng):
+    model = ReferenceEncoder(
+        input_channels=16,
+        output_channels=8,
+        residual_channels=32,
+        residual_layers=2,
+        num_heads=4,
+        latent_len=4,
+    )
+    x = jnp.asarray(rng.standard_normal((3, 20, 16)).astype(np.float32))
+    mask = jnp.ones((3, 20), bool)
+    params = model.init(jax.random.PRNGKey(0), x, mask)["params"]
+    y = model.apply({"params": params}, x, mask)
+    assert y.shape == (3, 8)
+
+    def loss(p):
+        return (model.apply({"params": p}, x, mask) ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+    # the attention mask changes the pooled embedding (the WaveNet trunk
+    # still sees all frames — same as the reference, which only masks
+    # attention)
+    mask2 = mask.at[:, 10:].set(False)
+    a = model.apply({"params": params}, x, mask2)
+    b = model.apply({"params": params}, x, mask)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sort_cuts_by_duration(tmp_path):
+    cuts = [Cut(str(i), "x", 0, d, 24000) for i, d in enumerate([3.0, 1.0, 2.0])]
+    src = str(tmp_path / "in.jsonl.gz")
+    dst = str(tmp_path / "out.jsonl.gz")
+    save_manifest(cuts, src)
+    n = sort_cuts_by_duration(src, dst)
+    assert n == 3
+    out = load_manifest(dst)
+    assert [c.duration for c in out] == [1.0, 2.0, 3.0]
+
+
+def test_profiling_timed():
+    from dmel_codec_tpu.utils.profiling import timed
+
+    results = {}
+    with timed("block", results):
+        sum(range(1000))
+    assert results["block"] > 0
+
+
+def test_lm_nonfinite_update_skipping(rng):
+    from tests.test_lm import TINY_LM, _tiny_batch
+    from dmel_codec_tpu.lm.inputs import TokenGridBuilder
+    from dmel_codec_tpu.train.lm_trainer import LMTrainConfig, LMTrainer
+
+    trainer = LMTrainer(
+        TINY_LM,
+        LMTrainConfig(
+            accumulate_grad=1, num_warmup_steps=1, skip_nonfinite_updates=3
+        ),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    builder = TokenGridBuilder(config=TINY_LM)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng, builder).items()}
+    step = trainer.jit_train_step()
+    s1, m1 = step(state, batch)
+    s2, _ = step(s1, batch)
+    assert np.isfinite(float(m1["train/loss"]))
+
+    # poison the params -> grads non-finite -> update skipped, params intact
+    bad_params = jax.tree_util.tree_map(
+        lambda x: x.at[(0,) * x.ndim].set(jnp.nan) if x.ndim else x, s2.params
+    )
+    bad_state = s2.replace(params=bad_params)
+    s3, _ = step(bad_state, batch)
+    leaves_before = jax.tree_util.tree_leaves(bad_params)
+    leaves_after = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(leaves_before, leaves_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -41,6 +41,8 @@ def main(argv=None):
     shard = jax.process_index()
     train_cuts = load_manifest(data["train_manifest"])
 
+    batch_multiple = jax.device_count() if fit_cfg.use_mesh else 1
+
     def train_batches(epoch):
         return DataLoader(
             train_cuts,
@@ -49,6 +51,7 @@ def main(argv=None):
             seed=data.get("seed", 0),
             num_shards=n_shards,
             shard_index=shard,
+            batch_multiple=batch_multiple,
         ).epoch(epoch)
 
     val_batches = None

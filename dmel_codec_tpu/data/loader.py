@@ -86,9 +86,14 @@ class DataLoader:
         shard_index: int = 0,
         prefetch: int = 2,
         max_batch_size: Optional[int] = None,
+        batch_multiple: int = 1,
     ):
+        """batch_multiple: pad each batch with silent zero-length items so
+        the batch size divides the data-parallel mesh (masked losses make
+        the fillers contribute nothing)."""
         self.sample_rate = sample_rate
         self.length_quantum = length_quantum
+        self.batch_multiple = batch_multiple
         self.batcher = BucketBatcher(
             cuts,
             max_duration=max_duration,
@@ -113,13 +118,17 @@ class DataLoader:
         lengths = np.array([len(a) for a in audios], np.int32)
         q = self.length_quantum
         max_len = ((int(lengths.max()) + q - 1) // q) * q
-        out = np.zeros((len(audios), max_len), np.float32)
+        b = len(audios)
+        m = self.batch_multiple
+        b_pad = ((b + m - 1) // m) * m
+        out = np.zeros((b_pad, max_len), np.float32)
         for i, a in enumerate(audios):
             out[i, : len(a)] = a
+        lengths = np.concatenate([lengths, np.zeros(b_pad - b, np.int32)])
         return {
             "audios": out,
             "audio_lengths": lengths,
-            "texts": [c.text for c in batch],
+            "texts": [c.text for c in batch] + [None] * (b_pad - b),
         }
 
     def __iter__(self) -> Iterator[dict]:

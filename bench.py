@@ -34,7 +34,10 @@ DTYPE = jnp.bfloat16  # serving precision (the reference casts to bf16 too)
 
 def main() -> None:
     cfg = DMelCodecConfig(compute_dtype="bfloat16")
-    vcfg = BigVGANConfig(use_pallas_kernel=jax.devices()[0].platform == "tpu")
+    vcfg = BigVGANConfig(
+        use_pallas_kernel=jax.devices()[0].platform == "tpu",
+        pallas_exact_edges=False,  # serving: skip 3-frame boundary patch
+    )
     codec = DMelCodec(config=cfg)
     vocoder = BigVGAN(config=vcfg)
     mel_tf = LogMelSpectrogram()

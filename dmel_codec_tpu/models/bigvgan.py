@@ -57,6 +57,10 @@ class BigVGANConfig:
     use_bias_at_final: bool = False
     use_tanh_at_final: bool = False
     use_pallas_kernel: bool = False
+    # exact 3-frame boundary handling in the fused kernel (bit-parity with
+    # the reference); False trades sub-sample boundary exactness for less
+    # compile time + throughput in serving
+    pallas_exact_edges: bool = True
 
     @property
     def hop_total(self) -> int:
@@ -77,6 +81,7 @@ class AliasFreeActivation(nn.Module):
     activation: str  # "snake" | "snakebeta"
     logscale: bool
     use_pallas: bool = False
+    exact_edges: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +99,12 @@ class AliasFreeActivation(nn.Module):
             from dmel_codec_tpu.ops.anti_alias import fused_anti_alias_activation
 
             return fused_anti_alias_activation(
-                x, alpha, beta, logscale=self.logscale
+                x,
+                alpha,
+                beta,
+                logscale=self.logscale,
+                interpret=False,
+                exact_edges=self.exact_edges,
             )
 
         x = UpSample1d(ratio=2)(x)
@@ -114,12 +124,17 @@ class AMPBlock1(nn.Module):
     activation: str
     logscale: bool
     use_pallas: bool = False
+    exact_edges: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         def act(idx: int, y: jnp.ndarray) -> jnp.ndarray:
             return AliasFreeActivation(
-                self.activation, self.logscale, self.use_pallas, name=f"act_{idx}"
+                self.activation,
+                self.logscale,
+                self.use_pallas,
+                self.exact_edges,
+                name=f"act_{idx}",
             )(y)
 
         for j, d in enumerate(self.dilation):
@@ -151,12 +166,17 @@ class AMPBlock2(nn.Module):
     activation: str
     logscale: bool
     use_pallas: bool = False
+    exact_edges: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for j, d in enumerate(self.dilation):
             xt = AliasFreeActivation(
-                self.activation, self.logscale, self.use_pallas, name=f"act_{j}"
+                self.activation,
+                self.logscale,
+                self.use_pallas,
+                self.exact_edges,
+                name=f"act_{j}",
             )(x)
             xt = WNConv(
                 self.channels,
@@ -199,13 +219,18 @@ class BigVGAN(nn.Module):
                     activation=cfg.activation,
                     logscale=cfg.snake_logscale,
                     use_pallas=cfg.use_pallas_kernel,
+                    exact_edges=cfg.pallas_exact_edges,
                     name=f"resblock_{i * cfg.num_kernels + j}",
                 )(x)
                 xs = out if xs is None else xs + out
             x = xs / cfg.num_kernels
 
         x = AliasFreeActivation(
-            cfg.activation, cfg.snake_logscale, cfg.use_pallas_kernel, name="act_post"
+            cfg.activation,
+            cfg.snake_logscale,
+            cfg.use_pallas_kernel,
+            cfg.pallas_exact_edges,
+            name="act_post",
         )(x)
         x = WNConv(
             1,

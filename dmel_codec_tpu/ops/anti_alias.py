@@ -171,22 +171,27 @@ def anti_alias_activation_reference(
     return downsample1d(v, filt, 2, _KS)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_anti_alias_activation(
     x: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: Optional[jnp.ndarray],
     logscale: bool = False,
     interpret: bool = False,
+    exact_edges: bool = True,
 ) -> jnp.ndarray:
     """[B, T, C] -> [B, T, C]. beta=None selects plain snake (1/alpha gain).
 
-    Interior frames come from the fused kernel. The outermost 3 frames per
-    side are recomputed with the unfused oracle on a 16-frame edge slice:
-    the reference replicate-pads the *upsampled* signal before the
-    downsample FIR (resample.py DownSample1d), which the polyphase kernel's
-    input-side replication cannot reproduce — 3 frames each side is exactly
-    the reach of the 5/6-tap downsample padding.
+    Interior frames come from the fused kernel. With `exact_edges`, the
+    outermost 3 frames per side are recomputed with the unfused oracle on a
+    16-frame edge slice: the reference replicate-pads the *upsampled*
+    signal before the downsample FIR (resample.py DownSample1d), which the
+    polyphase kernel's input-side replication cannot reproduce — 3 frames
+    each side is exactly the reach of the 5/6-tap downsample padding.
+    `exact_edges=False` skips the patch (the kernel's input-side
+    replication differs only in those 6 boundary samples per activation —
+    sub-sample-scale for serving) and saves ~4 convs per instance in both
+    compile time and runtime.
     """
     c = x.shape[-1]
     # Mosaic DMA needs 128-aligned lanes. Below 128 channels the zero-pad
@@ -208,22 +213,25 @@ def fused_anti_alias_activation(
         y = _fused_forward(xw, aw, bw, interpret=interpret)[..., :c]
     else:
         y = _fused_forward(x, a, inv_b, interpret=interpret)
-    head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
-    tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
-    y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
-    y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
+    if exact_edges:
+        head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
+        tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
+        y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
+        y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
     return y
 
 
-def _fwd(x, alpha, beta, logscale, interpret):
-    return fused_anti_alias_activation(x, alpha, beta, logscale, interpret), (
+def _fwd(x, alpha, beta, logscale, interpret, exact_edges):
+    return fused_anti_alias_activation(
+        x, alpha, beta, logscale, interpret, exact_edges
+    ), (
         x,
         alpha,
         beta,
     )
 
 
-def _bwd(logscale, interpret, res, g):
+def _bwd(logscale, interpret, exact_edges, res, g):
     x, alpha, beta = res
     if beta is None:
         _, vjp = jax.vjp(

@@ -35,6 +35,13 @@ class TransformerConfig:
     num_kv_heads: int
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
+    # scan_layers: one traced layer body instead of num_layers copies —
+    # ~L-times less HLO to compile; params stack on a leading layer axis
+    # under a single 'layers' collection
+    scan_layers: bool = False
+    # remat: rematerialise each block in the backward pass (activation
+    # memory ~ O(sqrt) instead of O(L) — jax.checkpoint per layer)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -225,28 +232,68 @@ class Decoder(nn.Module):
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
         x = inputs_embeds
-        new_k, new_v = [], []
-        for i in range(cfg.num_layers):
-            layer_cache = (
-                (cache["k"][i], cache["v"][i]) if cache is not None else None
+        block_cls = nn.remat(Block, static_argnums=()) if cfg.remat else Block
+
+        if cfg.scan_layers:
+            x, stacked_kv = self._scan_layers(
+                block_cls, x, cos, sin, attn_mask, cache, cache_index
             )
-            x, kv = Block(cfg, name=f"layers_{i}")(
-                x, cos, sin, attn_mask, layer_cache, cache_index
-            )
-            if kv is not None:
-                new_k.append(kv[0])
-                new_v.append(kv[1])
+            new_k, new_v = ([], []) if stacked_kv is None else stacked_kv
+        else:
+            new_k, new_v = [], []
+            for i in range(cfg.num_layers):
+                layer_cache = (
+                    (cache["k"][i], cache["v"][i]) if cache is not None else None
+                )
+                x, kv = block_cls(cfg, name=f"layers_{i}")(
+                    x, cos, sin, attn_mask, layer_cache, cache_index
+                )
+                if kv is not None:
+                    new_k.append(kv[0])
+                    new_v.append(kv[1])
 
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
 
         new_cache = None
         if cache is not None:
+            if cfg.scan_layers:
+                k_stack, v_stack = new_k, new_v  # already [L, ...]
+            else:
+                k_stack, v_stack = jnp.stack(new_k), jnp.stack(new_v)
             new_cache = {
-                "k": jnp.stack(new_k),
-                "v": jnp.stack(new_v),
+                "k": k_stack,
+                "v": v_stack,
                 "index": cache["index"] + s,
             }
         return x, new_cache
+
+    def _scan_layers(self, block_cls, x, cos, sin, attn_mask, cache, cache_index):
+        """One compiled Block body scanned over stacked per-layer params."""
+        cfg = self.config
+        if cache is None:
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=cfg.num_layers,
+            )
+            x, _ = scanned(cfg, name="layers")(x, cos, sin, attn_mask)
+            return x, None
+
+        scanned = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            out_axes=0,
+            length=cfg.num_layers,
+        )
+        x, kv = scanned(cfg, name="layers")(
+            x, cos, sin, attn_mask, (cache["k"], cache["v"]), cache_index
+        )
+        return x, kv
 
 
 # ---------------------------------------------------------------------------
@@ -266,9 +313,10 @@ def decoder_params_from_torch(sd: dict, config: TransformerConfig, prefix: str =
         return p
 
     params: dict = {"norm": {"weight": sd[f"{prefix}norm.weight"]}}
+    per_layer = []
     for i in range(config.num_layers):
         lp = f"layers.{i}."
-        params[f"layers_{i}"] = {
+        layer_tree = {
             "input_layernorm": {"weight": sd[f"{prefix}{lp}input_layernorm.weight"]},
             "post_attention_layernorm": {
                 "weight": sd[f"{prefix}{lp}post_attention_layernorm.weight"]
@@ -285,4 +333,14 @@ def decoder_params_from_torch(sd: dict, config: TransformerConfig, prefix: str =
                 "down_proj": lin(f"{lp}mlp.down_proj", bias=False),
             },
         }
+        if config.scan_layers:
+            per_layer.append(layer_tree)
+        else:
+            params[f"layers_{i}"] = layer_tree
+    if config.scan_layers:
+        import jax
+
+        params["layers"] = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves), *per_layer
+        )
     return params

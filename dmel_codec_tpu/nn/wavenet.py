@@ -9,8 +9,9 @@ TPU-first notes:
   * dilated k=3 convs use XLA's conv_general_dilated via nn.Conv with
     SAME padding — identical arithmetic to the reference's
     padding=dilation choice for kernel 3
-  * the diffusion-step pathway of the reference is unused by every
-    config (SURVEY C4) and is intentionally not reproduced
+  * the diffusion-step pathway (is_diffusion + per-block projection,
+    wavenet.py:14-28,119-123) is reproduced for API completeness even
+    though no reference config exercises it
 """
 
 from __future__ import annotations
@@ -20,8 +21,22 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 _INIT = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def diffusion_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal step embedding (reference DiffusionEmbedding, :14-28).
+    t [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(np.log(10000.0) / (half - 1) * -jnp.arange(half))
+    ang = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(nn.softplus(x))
 
 
 class ResidualBlock(nn.Module):
@@ -30,8 +45,19 @@ class ResidualBlock(nn.Module):
     use_condition: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        condition: Optional[jnp.ndarray] = None,
+        diffusion_step: Optional[jnp.ndarray] = None,
+    ):
         c = self.residual_channels
+        y = x
+        if diffusion_step is not None:
+            step = nn.Dense(
+                c, use_bias=False, kernel_init=_INIT, name="diffusion_projection"
+            )(diffusion_step)
+            y = y + step[:, None, :]
         y = nn.Conv(
             2 * c,
             kernel_size=(3,),
@@ -39,7 +65,7 @@ class ResidualBlock(nn.Module):
             padding="SAME",
             kernel_init=_INIT,
             name="conv",
-        )(x)
+        )(y)
         if self.use_condition:
             assert condition is not None
             y = y + nn.Dense(2 * c, kernel_init=_INIT, name="condition_projection")(
@@ -61,13 +87,27 @@ class WaveNet(nn.Module):
     residual_layers: int = 20
     dilation_cycle: Optional[int] = 4
     condition_channels: Optional[int] = None
+    is_diffusion: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        condition: Optional[jnp.ndarray] = None,
+        t: Optional[jnp.ndarray] = None,
+    ):
         c = self.residual_channels
         if self.input_channels is not None and self.input_channels != c:
             x = nn.Dense(c, kernel_init=_INIT, name="input_projection")(x)
             x = nn.silu(x)
+
+        step = None
+        if t is not None:
+            assert self.is_diffusion, "pass is_diffusion=True to use t"
+            step = diffusion_embedding(t, c)
+            step = nn.Dense(4 * c, use_bias=False, kernel_init=_INIT, name="mlp_0")(step)
+            step = _mish(step)
+            step = nn.Dense(c, use_bias=False, kernel_init=_INIT, name="mlp_1")(step)
 
         skip_sum = None
         for i in range(self.residual_layers):
@@ -77,7 +117,7 @@ class WaveNet(nn.Module):
                 dilation=dilation,
                 use_condition=self.condition_channels is not None,
                 name=f"layer_{i}",
-            )(x, condition)
+            )(x, condition, step)
             skip_sum = skip if skip_sum is None else skip_sum + skip
 
         y = skip_sum / math.sqrt(self.residual_layers)

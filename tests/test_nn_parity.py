@@ -5,6 +5,7 @@ float32 tolerance. Covers WaveNet (with/without condition), ConvNeXtBlock,
 snake/snakebeta, and the kaiser-sinc up/down samplers.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -223,3 +224,55 @@ def test_activation1d_composition_parity(rng):
     y = SnakeBeta(8, alpha_logscale=True).apply(params, y)
     y = np.asarray(down(y))
     np.testing.assert_allclose(y.transpose(0, 2, 1), golden, atol=ATOL)
+
+
+def test_wavenet_diffusion_pathway_parity(rng):
+    """is_diffusion WaveNet (t embedding + per-block projection), ref :14-28."""
+    torch.manual_seed(3)
+    ref = ref_wavenet.WaveNet(
+        input_channels=8,
+        residual_channels=16,
+        residual_layers=2,
+        dilation_cycle=4,
+        is_diffusion=True,
+        condition_channels=16,
+    ).eval()
+    sd = {k: t2n(v) for k, v in ref.state_dict().items()}
+
+    params = wavenet_params_from_torch(ref, 2, True, False, True)["params"]
+    params["mlp_0"] = {"kernel": tc.dense_kernel(sd["mlp.0.linear.weight"])}
+    params["mlp_1"] = {"kernel": tc.dense_kernel(sd["mlp.2.linear.weight"])}
+    for i in range(2):
+        params[f"layer_{i}"]["diffusion_projection"] = {
+            "kernel": tc.dense_kernel(
+                sd[f"residual_layers.{i}.diffusion_projection.linear.weight"]
+            )
+        }
+
+    x = rng.standard_normal((2, 8, 24)).astype(np.float32)
+    cond = rng.standard_normal((2, 16, 24)).astype(np.float32)
+    t = np.array([3.0, 17.0], np.float32)
+    with torch.no_grad():
+        want = t2n(
+            ref(
+                torch.from_numpy(x),
+                t=torch.from_numpy(t),
+                condition=torch.from_numpy(cond),
+            )
+        )
+    model = WaveNet(
+        input_channels=8,
+        residual_channels=16,
+        residual_layers=2,
+        condition_channels=16,
+        is_diffusion=True,
+    )
+    got = model.apply(
+        {"params": params},
+        x.transpose(0, 2, 1),
+        cond.transpose(0, 2, 1),
+        jnp.asarray(t),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1), want, atol=ATOL
+    )

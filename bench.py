@@ -40,7 +40,7 @@ def main() -> None:
     )
     codec = DMelCodec(config=cfg)
     vocoder = BigVGAN(config=vcfg)
-    mel_tf = LogMelSpectrogram()
+    mel_tf = LogMelSpectrogram(use_matmul_dft=True)  # MXU DFT beats XLA-TPU rfft
 
     samples = cfg.sample_rate * SECONDS
     frames = (samples // cfg.hop_length // cfg.downsample_total) * cfg.downsample_total

@@ -25,6 +25,8 @@ def conv_transpose1d(
     precision=None,
 ) -> jnp.ndarray:
     """x [B, T, I], kernel [k, I, O] -> [B, (T-1)*stride - 2*padding + k, O]."""
+    dtype = jnp.result_type(x.dtype, kernel.dtype)
+    x, kernel = x.astype(dtype), kernel.astype(dtype)
     k = kernel.shape[0]
     pad = k - 1 - padding
     return jax.lax.conv_general_dilated(

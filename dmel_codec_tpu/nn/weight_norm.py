@@ -20,7 +20,7 @@ from typing import Sequence, Union
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401
 
 from dmel_codec_tpu.nn.conv import conv_transpose1d
 
@@ -85,6 +85,8 @@ class WNConv(nn.Module):
             (self.features,),
         )
         kernel = weight_norm_kernel(v, g, axis=v.ndim - 1)
+        dtype = jnp.result_type(x.dtype, kernel.dtype)
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
 
         spatial = "".join("DHW"[3 - ndim + i] for i in range(ndim)) if ndim <= 3 else None
         assert spatial is not None, "WNConv supports 1-3 spatial dims"

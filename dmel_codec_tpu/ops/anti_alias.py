@@ -155,6 +155,87 @@ def _fused_forward(
     )(xp, alpha[None, :], inv_beta[None, :])
 
 
+_LANE_HALO = 128  # lane-dim slices must be 128-aligned
+
+
+def _lshift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
+    """result[.., j] = arr[.., j + k] (circular on the lane axis)."""
+    if k == 0:
+        return arr
+    return pltpu.roll(arr, (-k) % arr.shape[-1], 1)
+
+
+def _kernel_small_c(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
+    """Transposed layout for C < 128: channels on sublanes (C % 8 == 0),
+    time on lanes; the 12-tap shifts become cheap lane rotates. Lane halo
+    is 128 per side (alignment), amortised by tile >= 1024."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * tile, tile + 2 * _LANE_HALO)], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+
+    xt = scratch[:].astype(jnp.float32)  # [C, L]
+    u_even = jnp.zeros_like(xt)
+    u_odd = jnp.zeros_like(xt)
+    for i_tap in range(6):
+        fe = float(2.0 * _FILT[2 * i_tap + 1])
+        fo = float(2.0 * _FILT[2 * i_tap])
+        u_even = u_even + fe * _lshift(xt, 2 - i_tap)
+        u_odd = u_odd + fo * _lshift(xt, 3 - i_tap)
+
+    alpha = alpha_ref[:, 0:1].astype(jnp.float32)
+    inv_beta = beta_ref[:, 0:1].astype(jnp.float32)
+    se = jnp.sin(u_even * alpha)
+    so = jnp.sin(u_odd * alpha)
+    v_even = u_even + inv_beta * se * se
+    v_odd = u_odd + inv_beta * so * so
+
+    y = jnp.zeros_like(xt)
+    for i_tap in range(6):
+        fe = float(_FILT[2 * i_tap + 1])
+        fo = float(_FILT[2 * i_tap])
+        y = y + fe * _lshift(v_even, i_tap - 2)
+        y = y + fo * _lshift(v_odd, i_tap - 3)
+    out_ref[0, :, :] = y[:, _LANE_HALO : _LANE_HALO + tile].astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fused_forward_small_c(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    inv_beta: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, t, c = x.shape
+    tile = 2048
+    n_tiles = pl.cdiv(t, tile)
+    xp = jnp.pad(
+        x, ((0, 0), (_LANE_HALO, n_tiles * tile - t + _LANE_HALO), (0, 0)), mode="edge"
+    ).transpose(0, 2, 1)  # [B, C, Tpad]
+    y = pl.pallas_call(
+        partial(_kernel_small_c, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, tile), lambda b_, i_: (b_, 0, i_), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, tile + 2 * _LANE_HALO), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, alpha[:, None], inv_beta[:, None])
+    return y.transpose(0, 2, 1)
+
+
 def anti_alias_activation_reference(
     x: jnp.ndarray,
     alpha: jnp.ndarray,
@@ -194,10 +275,12 @@ def fused_anti_alias_activation(
     compile time and runtime.
     """
     c = x.shape[-1]
-    # Mosaic DMA needs 128-aligned lanes. Below 128 channels the zero-pad
-    # would cost more HBM bandwidth than the fusion saves (the op is
-    # bandwidth-bound) — use the unfused XLA path there.
-    if x.shape[1] < 32 or (not interpret and c < 128):
+    # Layout dispatch: C >= 128 uses the channels-on-lanes kernel (padding C
+    # to a 128 multiple); 8 | C < 128 uses the transposed kernel (channels
+    # on sublanes, time on lanes — shifts become lane rotates); otherwise
+    # the unfused XLA path.
+    small_c = c < 128
+    if x.shape[1] < 32 or (not interpret and small_c and c % 8 != 0):
         return anti_alias_activation_reference(x, alpha, beta, logscale)
     a = jnp.exp(alpha) if logscale else alpha
     if beta is None:
@@ -205,6 +288,14 @@ def fused_anti_alias_activation(
     else:
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
+    if small_c and not interpret:
+        y = _fused_forward_small_c(x, a, inv_b, interpret=interpret)
+        if exact_edges:
+            head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
+            tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
+            y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
+            y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
+        return y
     c_pad = (-c) % 128 if not interpret else 0
     if c_pad:
         xw = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad)))

@@ -20,11 +20,15 @@ def main(argv=None):
     parser.add_argument("--max-batches", type=int, default=None)
     args = parser.parse_args(argv)
 
-    from dmel_codec_tpu.utils.config import load_yaml
+    from dmel_codec_tpu.models.codec import DMelCodecConfig
+    from dmel_codec_tpu.utils.config import dataclass_from_dict, load_yaml
 
     cfg = load_yaml(args.config)
+    codec_cfg = dataclass_from_dict(DMelCodecConfig, cfg.get("model"))
     codec = load_codec_adapter(
-        cfg["codec_ckpt_dir"], vocoder_ckpt=cfg.get("vocoder_ckpt")
+        cfg["codec_ckpt_dir"],
+        codec_cfg=codec_cfg,
+        vocoder_ckpt=cfg.get("vocoder_ckpt"),
     )
 
     cuts = load_manifest(cfg["test_manifest"])

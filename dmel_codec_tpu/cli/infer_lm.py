@@ -43,8 +43,12 @@ def main(argv=None):
     if state is None:
         raise FileNotFoundError(f"no LM checkpoint under {cfg['lm_ckpt_dir']}")
 
+    from dmel_codec_tpu.models.codec import DMelCodecConfig
+
     codec = load_codec_adapter(
-        cfg["codec_ckpt_dir"], vocoder_ckpt=cfg.get("vocoder_ckpt")
+        cfg["codec_ckpt_dir"],
+        codec_cfg=dataclass_from_dict(DMelCodecConfig, cfg.get("model")),
+        vocoder_ckpt=cfg.get("vocoder_ckpt"),
     )
     tokenizer = load_text_tokenizer(cfg.get("text_tokenizer_path"))
     builder = TokenGridBuilder(

@@ -45,7 +45,12 @@ def main(argv=None):
     fit_cfg = dataclass_from_dict(FitConfig, cfg.get("fit"))
     data = cfg.get("data", {})
 
-    codec = load_codec_adapter(cfg["codec_ckpt_dir"])
+    from dmel_codec_tpu.models.codec import DMelCodecConfig
+
+    codec = load_codec_adapter(
+        cfg["codec_ckpt_dir"],
+        codec_cfg=dataclass_from_dict(DMelCodecConfig, cfg.get("codec_model")),
+    )
     tokenizer = load_text_tokenizer(cfg.get("text_tokenizer_path"))
     builder = TokenGridBuilder(
         config=lm_cfg,

@@ -166,3 +166,43 @@ def test_lm_loop_with_codec_tokenization(tmp_path, tiny_dataset, rng):
         state, {k: jnp.asarray(v) for k, v in lm_batch.items()}
     )
     assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_evaluate_cli_on_trained_checkpoint(tmp_path, tiny_dataset, capsys):
+    """Train 2 steps via CLI, then run the evaluate CLI on the checkpoint."""
+    from dmel_codec_tpu.cli.evaluate import main as eval_main
+    from dmel_codec_tpu.cli.train_codec import main as train_main
+
+    model = {
+        "encoder_residual_channels": 12,
+        "encoder_layers": 2,
+        "decoder_layers": 2,
+    }
+    train_cfg = {
+        "model": model,
+        "train": {"num_warmup_steps": 1, "num_training_steps": 100},
+        "fit": {
+            "max_steps": 1,
+            "val_interval": 10,
+            "ckpt_dir": str(tmp_path / "ckpt"),
+            "log_dir": str(tmp_path / "logs"),
+            "use_mesh": False,
+        },
+        "data": {"train_manifest": tiny_dataset, "max_duration": 1.0},
+    }
+    with open(tmp_path / "train.yaml", "w") as f:
+        yaml.safe_dump(train_cfg, f)
+    train_main(["--config", str(tmp_path / "train.yaml")])
+
+    eval_cfg = {
+        "model": model,
+        "codec_ckpt_dir": str(tmp_path / "ckpt"),
+        "test_manifest": tiny_dataset,
+        "max_duration": 2.0,
+    }
+    with open(tmp_path / "eval.yaml", "w") as f:
+        yaml.safe_dump(eval_cfg, f)
+    eval_main(["--config", str(tmp_path / "eval.yaml"), "--max-batches", "1"])
+    out = capsys.readouterr().out
+    result = json.loads(out[out.index("{"):])
+    assert "mel_l1" in result and np.isfinite(result["mel_l1"])

@@ -42,6 +42,11 @@ class TransformerConfig:
     # remat: rematerialise each block in the backward pass (activation
     # memory ~ O(sqrt) instead of O(L) — jax.checkpoint per layer)
     remat: bool = False
+    # flash_attention: use the Pallas TPU flash kernel on the cache-less
+    # (training) path for sequences >= flash_min_seq — O(S) memory instead
+    # of the materialised [S, S] score matrix. TPU-only.
+    flash_attention: bool = False
+    flash_min_seq: int = 512
 
     @property
     def head_dim(self) -> int:
@@ -146,6 +151,13 @@ class Attention(nn.Module):
             k, v = ck, cv
             new_kv = (ck, cv)
 
+        if cfg.flash_attention and cache_kv is None and s >= cfg.flash_min_seq:
+            out = _flash_causal_attention(q, k, v, cfg)
+            out = nn.Dense(cfg.num_heads * hd, use_bias=False, name="o_proj")(
+                out.reshape(b, s, -1)
+            )
+            return out, None
+
         groups = cfg.num_heads // cfg.num_kv_heads
         t = k.shape[1]
         # GQA: [B, T, kh, hd] -> heads via an extra group axis in the einsum.
@@ -156,6 +168,35 @@ class Attention(nn.Module):
         out = jnp.einsum("bkgst,btkh->bskgh", probs, v).reshape(b, s, -1)
         out = nn.Dense(cfg.num_heads * hd, use_bias=False, name="o_proj")(out)
         return out, new_kv
+
+
+def _flash_causal_attention(q, k, v, cfg: TransformerConfig):
+    """Pallas TPU flash attention over [B, S, H, hd] inputs (causal).
+
+    GQA KV heads are expanded to full heads; sequence is zero-padded to a
+    128 multiple (tail keys are never attended by live queries under the
+    causal mask)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    b, s, nh, hd = q.shape
+    groups = cfg.num_heads // cfg.num_kv_heads
+    k = jnp.repeat(k, groups, axis=2)
+    v = jnp.repeat(v, groups, axis=2)
+    pad = (-s) % 128
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    # flash kernel layout [B, H, S, hd]
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True,
+        sm_scale=1.0 / float(np.sqrt(hd)),
+    )
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :s]
 
 
 class MLP(nn.Module):

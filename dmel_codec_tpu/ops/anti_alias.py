@@ -140,7 +140,7 @@ def _fused_forward(
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -220,7 +220,7 @@ def _fused_forward_small_c(
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],

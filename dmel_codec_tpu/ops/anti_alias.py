@@ -166,9 +166,12 @@ def _lshift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _kernel_small_c(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
-    """Transposed layout for C < 128: channels on sublanes (C % 8 == 0),
-    time on lanes; the 12-tap shifts become cheap lane rotates. Lane halo
-    is 128 per side (alignment), amortised by tile >= 1024."""
+    """Transposed compute for C < 128: channels on sublanes (C % 8 == 0),
+    time on lanes so the 12-tap shifts become lane rotates. Array layout
+    stays [B, T, C] at the kernel boundary (a [T, C] <-> [C, T] transpose
+    happens in-register) so XLA never materialises a huge-lane-dim buffer.
+    Time halo is 128 per side (lane-slice alignment), amortised by the
+    2048 tile."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -199,7 +202,7 @@ def _kernel_small_c(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: 
         fo = float(_FILT[2 * i_tap])
         y = y + fe * _lshift(v_even, i_tap - 2)
         y = y + fo * _lshift(v_odd, i_tap - 3)
-    out_ref[0, :, :] = y[:, _LANE_HALO : _LANE_HALO + tile].astype(out_ref.dtype)
+    out_ref[0, :, :] = y[:, _LANE_HALO : _LANE_HALO + tile].T.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -212,12 +215,15 @@ def _fused_forward_small_c(
     b, t, c = x.shape
     tile = 2048
     n_tiles = pl.cdiv(t, tile)
+    # transposed INPUT [B, C, Tpad] (plain HBM buffer; lane-dim slices are
+    # then 128-aligned); the OUTPUT stays [B, T, C] via an in-kernel
+    # transpose so XLA never materialises a huge-lane-dim result in VMEM
     xp = jnp.pad(
         x, ((0, 0), (_LANE_HALO, n_tiles * tile - t + _LANE_HALO), (0, 0)), mode="edge"
-    ).transpose(0, 2, 1)  # [B, C, Tpad]
-    y = pl.pallas_call(
+    ).transpose(0, 2, 1)
+    return pl.pallas_call(
         partial(_kernel_small_c, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -225,7 +231,7 @@ def _fused_forward_small_c(
             pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, c, tile), lambda b_, i_: (b_, 0, i_), memory_space=pltpu.VMEM
+            (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((c, tile + 2 * _LANE_HALO), x.dtype),
@@ -233,7 +239,6 @@ def _fused_forward_small_c(
         ],
         interpret=interpret,
     )(xp, alpha[:, None], inv_beta[:, None])
-    return y.transpose(0, 2, 1)
 
 
 def anti_alias_activation_reference(

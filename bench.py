@@ -70,16 +70,27 @@ def main() -> None:
     params = cast_floats(params, DTYPE)
     vparams = cast_floats(vparams, DTYPE)
 
+    # Stage-wise jits: one fused mega-graph compiles ~5x slower for the
+    # same steady-state throughput (arrays stay on device between stages).
     @jax.jit
-    def pipeline(params, vparams, audio, noise):
-        mels = mel_tf(audio)[:, :frames, :].astype(DTYPE)  # front end f32
-        indices, idx_lengths = codec.apply(
-            {"params": params}, mels, lengths, method=DMelCodec.encode
-        )
-        gen_mel = codec.apply(
+    def front(params, audio):
+        mels = mel_tf(audio)[:, :frames, :].astype(DTYPE)
+        return codec.apply({"params": params}, mels, lengths, method=DMelCodec.encode)
+
+    @jax.jit
+    def mid(params, indices, idx_lengths, noise):
+        return codec.apply(
             {"params": params}, indices, idx_lengths, noise, method=DMelCodec.decode
         )
+
+    @jax.jit
+    def back(vparams, gen_mel):
         return vocoder.apply({"params": vparams}, gen_mel)
+
+    def pipeline(params, vparams, audio, noise):
+        indices, idx_lengths = front(params, audio)
+        gen_mel = mid(params, indices, idx_lengths, noise)
+        return back(vparams, gen_mel)
 
     out = pipeline(params, vparams, audio, noise)
     out.block_until_ready()  # compile + warm

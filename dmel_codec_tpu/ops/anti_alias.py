@@ -213,7 +213,7 @@ def _fused_forward_small_c(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, c = x.shape
-    tile = 2048
+    tile = 1024  # ~5 MB of f32 intermediates; 2048 brushes the 16 MB VMEM cap
     n_tiles = pl.cdiv(t, tile)
     # transposed INPUT [B, C, Tpad] (plain HBM buffer; lane-dim slices are
     # then 128-aligned); the OUTPUT stays [B, T, C] via an in-kernel

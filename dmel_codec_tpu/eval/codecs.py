@@ -65,19 +65,21 @@ class DMelCodecAdapter:
             self.vocoder_params = vocoder_params
         self._rng = jax.random.PRNGKey(seed)
 
+        # params are jit arguments, not closure constants (constants are
+        # serialized into the compiled program)
         self._encode = jax.jit(
-            lambda mels, lengths: self.codec.apply(
-                {"params": self.params}, mels, lengths, method=DMelCodec.encode
+            lambda params, mels, lengths: self.codec.apply(
+                {"params": params}, mels, lengths, method=DMelCodec.encode
             )
         )
         self._decode_mel = jax.jit(
-            lambda idx, lengths, noise: self.codec.apply(
-                {"params": self.params}, idx, lengths, noise, method=DMelCodec.decode
+            lambda params, idx, lengths, noise: self.codec.apply(
+                {"params": params}, idx, lengths, noise, method=DMelCodec.decode
             )
         )
         self._latent = jax.jit(
-            lambda mels, lengths: self.codec.apply(
-                {"params": self.params},
+            lambda params, mels, lengths: self.codec.apply(
+                {"params": params},
                 mels,
                 lengths,
                 method=DMelCodec.encode_unquantized,
@@ -101,7 +103,7 @@ class DMelCodecAdapter:
     def encode(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """audio [B, T] -> (indices [B, G*R, L], lengths [B])."""
         mels, lengths = self._mels(audio)
-        idx, idx_len = self._encode(mels, lengths)
+        idx, idx_len = self._encode(self.params, mels, lengths)
         return np.asarray(idx), np.asarray(idx_len)
 
     def decode(
@@ -120,7 +122,7 @@ class DMelCodecAdapter:
             (indices.shape[0], t, self.config.concat_dim),
             dtype=self.dtype or jnp.float32,
         )
-        mel = self._decode_mel(indices, lengths, noise)
+        mel = self._decode_mel(self.params, indices, lengths, noise)
         if self.vocoder is None:
             return np.zeros((indices.shape[0], 0), np.float32), np.asarray(mel)
         wav = self.vocoder.apply({"params": self.vocoder_params}, mel)
@@ -134,7 +136,7 @@ class DMelCodecAdapter:
     def get_latent(self, audio: np.ndarray) -> np.ndarray:
         """Unquantized encoder features [B*G, T, res] (ref latent path)."""
         mels, lengths = self._mels(audio)
-        return np.asarray(self._latent(mels, lengths))
+        return np.asarray(self._latent(self.params, mels, lengths))
 
 
 def _unavailable(name: str, hint: str) -> Callable:

@@ -50,10 +50,12 @@ class SlowFastGenerator:
         self.params = params
         self.cfg: SlowFastLMConfig = model.config
         self.icfg = inference_config
-        self._frame_step = jax.jit(self._frame_step_impl, donate_argnums=(0,))
+        # params are jit ARGUMENTS (not closure constants): closing over
+        # them would bake the 151936x896 embedding table into the MLIR
+        self._frame_step = jax.jit(self._frame_step_impl, donate_argnums=(1,))
         self._embed = jax.jit(
-            lambda text_ids, audio_ids: self.model.apply(
-                {"params": self.params},
+            lambda params, text_ids, audio_ids: self.model.apply(
+                {"params": params},
                 text_ids,
                 audio_ids,
                 method=ChatMusicLM.embed_inputs,
@@ -63,6 +65,7 @@ class SlowFastGenerator:
     # ------------------------------------------------------------------
     def _frame_step_impl(
         self,
+        params,
         cache: dict,
         inputs_embeds: jnp.ndarray,  # [1, S, H]
         window: jnp.ndarray,  # [W, C] shifted audio ids
@@ -72,7 +75,7 @@ class SlowFastGenerator:
         """One frame: slow step (+cache) -> text token; 10 fast depth steps
         -> audio tokens. Returns (cache, text_token, audio_tokens [C])."""
         icfg, cfg = self.icfg, self.cfg
-        apply = partial(self.model.apply, {"params": self.params})
+        apply = partial(self.model.apply, {"params": params})
 
         text_logits, slow_hidden, cache = apply(
             inputs_embeds, cache, method=ChatMusicLM.forward_generate_text
@@ -129,7 +132,7 @@ class SlowFastGenerator:
 
         prompt_t = jnp.asarray(text_tokens)[None, :]
         prompt_a = jnp.asarray(audio_tokens)[None, :, :]
-        embeds = self._embed(prompt_t, prompt_a)
+        embeds = self._embed(self.params, prompt_t, prompt_a)
 
         cache = self.model.init_slow_cache(1, icfg.max_seq_len)
 
@@ -147,6 +150,7 @@ class SlowFastGenerator:
         for _ in range(icfg.max_new_tokens):
             rng, r = jax.random.split(rng)
             cache, text_token, audio_frame = self._frame_step(
+                self.params,
                 cache,
                 step_embeds,
                 jnp.asarray(window),
@@ -166,7 +170,7 @@ class SlowFastGenerator:
             window_valid[-1] = True
 
             step_embeds = self._embed(
-                jnp.asarray([[text_id]]), jnp.asarray(frame)[None, None, :]
+                self.params, jnp.asarray([[text_id]]), jnp.asarray(frame)[None, None, :]
             )
 
         return np.asarray(gen_audio, np.int64), np.asarray(gen_text, np.int64)

@@ -114,6 +114,116 @@ class SlowFastGenerator:
         return cache, text_token, jnp.stack(tokens)
 
     # ------------------------------------------------------------------
+    def _fast_decode_fixed(self, params, slow_hidden, window, window_valid, rng):
+        """10 codebook tokens via a FIXED-shape fast decode: the depth input
+        is always [1, C+1, h] (hidden + C token embeddings, later positions
+        garbage that causal masking hides), so all 10 steps share one traced
+        body (lax.fori_loop)."""
+        icfg, cfg = self.icfg, self.cfg
+        c = cfg.audio_codebook_count
+        apply = partial(self.model.apply, {"params": params})
+
+        def body(i, carry):
+            tokens, rng = carry
+            logits_all = apply(
+                slow_hidden,
+                tokens[None, :],
+                method=ChatMusicLM.forward_generate_audio_fixed,
+            )  # [1, C+1, V]
+            logits = logits_all[0, i, :]
+            rng, r = jax.random.split(rng)
+            tok, _ = sample_token(
+                r,
+                logits,
+                previous_tokens=window[:, i],
+                previous_valid=window_valid,
+                temperature=icfg.temperature,
+                top_k=icfg.top_k,
+                top_p=icfg.top_p,
+                repetition_penalty=icfg.windows_penalty,
+            )
+            return tokens.at[i].set(tok), rng
+
+        tokens0 = jnp.zeros((c,), jnp.int32)
+        tokens, rng = jax.lax.fori_loop(0, c, body, (tokens0, rng))
+        return tokens, rng
+
+    def _generate_impl(
+        self,
+        params,
+        cache: dict,
+        first_text: jnp.ndarray,
+        first_audio: jnp.ndarray,
+        window: jnp.ndarray,
+        window_valid: jnp.ndarray,
+        rng: jax.Array,
+    ):
+        """Whole post-prefill generation as ONE on-device lax.while_loop —
+        zero host round-trips per frame (the step-wise path pays tunnel
+        latency per dispatch)."""
+        icfg, cfg = self.icfg, self.cfg
+        c = cfg.audio_codebook_count
+        n = icfg.max_new_tokens
+        apply = partial(self.model.apply, {"params": params})
+
+        out_text = jnp.zeros((n,), jnp.int32).at[0].set(first_text)
+        out_audio = jnp.zeros((n, c), jnp.int32).at[0].set(first_audio)
+
+        def roll_in(window, window_valid, frame):
+            window = jnp.roll(window, -1, axis=0).at[-1].set(frame)
+            window_valid = jnp.roll(window_valid, -1).at[-1].set(True)
+            return window, window_valid
+
+        window, window_valid = roll_in(window, window_valid, first_audio)
+
+        def cond(state):
+            i, done, *_ = state
+            return (i < n) & ~done
+
+        def body(state):
+            i, done, cache, window, window_valid, out_text, out_audio, rng = state
+            prev_text = out_text[i - 1]
+            prev_audio = out_audio[i - 1]
+            embeds = apply(
+                prev_text[None, None],
+                prev_audio[None, None, :],
+                method=ChatMusicLM.embed_inputs,
+            )
+            text_logits, slow_hidden, cache = apply(
+                embeds, cache, method=ChatMusicLM.forward_generate_text
+            )
+            rng, r = jax.random.split(rng)
+            text_token, _ = sample_token(
+                r,
+                text_logits[0, -1, :],
+                previous_tokens=None,
+                temperature=icfg.temperature,
+                top_k=icfg.top_k,
+                top_p=icfg.top_p,
+            )
+            frame, rng = self._fast_decode_fixed(
+                params, slow_hidden[:, -1:, :], window, window_valid, rng
+            )
+            out_text = out_text.at[i].set(text_token)
+            out_audio = out_audio.at[i].set(frame)
+            window, window_valid = roll_in(window, window_valid, frame)
+            done = text_token == cfg.end_of_music_id
+            return (i + 1, done, cache, window, window_valid, out_text, out_audio, rng)
+
+        first_done = first_text == cfg.end_of_music_id
+        state = (
+            jnp.asarray(1, jnp.int32),
+            first_done,
+            cache,
+            window,
+            window_valid,
+            out_text,
+            out_audio,
+            rng,
+        )
+        i, _, _, _, _, out_text, out_audio, _ = jax.lax.while_loop(cond, body, state)
+        return out_text, out_audio, i
+
     def generate(
         self,
         text_tokens: np.ndarray,
@@ -123,9 +233,56 @@ class SlowFastGenerator:
         """Prompt grid (lm/inputs.py build_infer_grid) -> generated
         (audio_ids [T_new, C] SHIFTED, text_ids [T_new]).
 
-        The caller slices/de-shifts for the codec (the reference drops the
-        prompt region and the final <EOM> frame, lm_lit_modules.py:461-464).
-        """
+        Prefill is one jit; the whole AR loop is a second jit (on-device
+        while_loop). The caller slices/de-shifts for the codec (the
+        reference drops the prompt region and the final <EOM> frame,
+        lm_lit_modules.py:461-464)."""
+        cfg, icfg = self.cfg, self.icfg
+        c = cfg.audio_codebook_count
+        w = icfg.windows_length
+        assert len(text_tokens) + icfg.max_new_tokens <= icfg.max_seq_len
+
+        prompt_t = jnp.asarray(text_tokens)[None, :]
+        prompt_a = jnp.asarray(audio_tokens)[None, :, :]
+        embeds = self._embed(self.params, prompt_t, prompt_a)
+        cache = self.model.init_slow_cache(1, icfg.max_seq_len)
+
+        window = np.zeros((w, c), np.int64)
+        history = np.asarray(audio_tokens)
+        n_hist = min(len(history), w)
+        window_valid = np.zeros(w, bool)
+        if n_hist:
+            window[:n_hist] = history[-n_hist:]
+            window_valid[:n_hist] = True
+
+        rng, r = jax.random.split(rng)
+        cache, first_text, first_audio = self._frame_step(
+            self.params, cache, embeds, jnp.asarray(window), jnp.asarray(window_valid), r
+        )
+        if not hasattr(self, "_gen_jit"):
+            self._gen_jit = jax.jit(self._generate_impl, donate_argnums=(1,))
+        out_text, out_audio, count = self._gen_jit(
+            self.params,
+            cache,
+            first_text,
+            first_audio,
+            jnp.asarray(window),
+            jnp.asarray(window_valid),
+            rng,
+        )
+        count = int(count)
+        return (
+            np.asarray(out_audio)[:count].astype(np.int64),
+            np.asarray(out_text)[:count].astype(np.int64),
+        )
+
+    def generate_stepwise(
+        self,
+        text_tokens: np.ndarray,
+        audio_tokens: np.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One jitted dispatch per frame (debuggable reference path)."""
         cfg, icfg = self.cfg, self.icfg
         c = cfg.audio_codebook_count
         w = icfg.windows_length

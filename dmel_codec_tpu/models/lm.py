@@ -217,6 +217,20 @@ class ChatMusicLM(nn.Module):
         fast_hidden, _ = self.fast_decoder(h)
         return self.audio_head(fast_hidden[:, -1, :])
 
+    def forward_generate_audio_fixed(
+        self, slow_hidden: jnp.ndarray, fast_ids: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Fixed-shape depth decode: slow_hidden [B, 1, H] + fast_ids [B, C]
+        (later entries may be garbage — causal masking hides them) ->
+        logits for ALL depth positions [B, C+1, V]. Position i predicts
+        codebook i; used by the on-device generation loop."""
+        h = self.fast_pre_norm(slow_hidden)
+        h = self.fast_projector(h)
+        emb = self.fast_audio_embed(fast_ids)
+        x = jnp.concatenate([h, emb], axis=1)  # [B, C+1, h_fast]
+        fast_hidden, _ = self.fast_decoder(x)
+        return self.audio_head(fast_hidden)
+
     def init_slow_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         return init_kv_cache(self.config.slow, batch, max_len, dtype)
 

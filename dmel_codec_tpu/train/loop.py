@@ -78,7 +78,7 @@ class CodecFitLoop:
                 log.info(f"resumed from checkpoint step {int(state.step)}")
 
         step_fn = self.trainer.jit_train_step(mesh)
-        eval_fn = jax.jit(self.trainer.eval_step)
+        self._eval_fn = jax.jit(self.trainer.eval_step)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         step = int(state.step)
@@ -105,7 +105,7 @@ class CodecFitLoop:
 
     def _validate(self, state: CodecTrainState, writer: MetricsWriter, step: int):
         cfg = self.cfg
-        eval_fn = jax.jit(self.trainer.eval_step)
+        eval_fn = self._eval_fn  # jit once per run (re-wrapping would retrace)
         losses = []
         first_batch = None
         for i, batch in enumerate(self.val_batches()):

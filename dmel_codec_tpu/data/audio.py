@@ -25,8 +25,7 @@ def read_wav(
     i0 = int(round(start * sr))
     i1 = len(data) if duration is None else i0 + int(round(duration * sr))
     data = np.asarray(data[i0:i1])
-    if data.ndim == 2:
-        data = data.mean(axis=1)
+    # scale to [-1, 1] BEFORE downmixing (mean() would change the dtype)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -35,6 +34,8 @@ def read_wav(
         data = (data.astype(np.float32) - 128.0) / 128.0
     else:
         data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.mean(axis=1, dtype=np.float32)
     return data, int(sr)
 
 

@@ -60,6 +60,7 @@ class DMelCodecAdapter:
         )
         self.vocoder = None
         self.vocoder_params = None
+        self._vocode = None
         if vocoder_params is not None:
             self.vocoder = BigVGAN(config=vocoder_config or BigVGANConfig())
             self.vocoder_params = vocoder_params
@@ -90,19 +91,31 @@ class DMelCodecAdapter:
     def sample_rate(self) -> int:
         return self.config.sample_rate
 
-    def _mels(self, audio: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _mels(
+        self, audio: np.ndarray, audio_lengths=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         audio = np.atleast_2d(np.asarray(audio, np.float32))
         mels = self.mel_tf(jnp.asarray(audio))  # mel front end stays f32
         if self.dtype is not None:
             mels = mels.astype(self.dtype)
         f = self.config.downsample_total
         t = (mels.shape[1] // f) * f
-        lengths = jnp.full((audio.shape[0],), t, jnp.int32)
+        if audio_lengths is None:
+            lengths = jnp.full((audio.shape[0],), t, jnp.int32)
+        else:
+            # per-sample valid frames, floored to the downsample factor so
+            # batch zero-padding is never tokenized as audio (the reference
+            # slices per-sample, lm_process_input.py:41-46)
+            lengths = jnp.asarray(audio_lengths) // self.config.hop_length
+            lengths = jnp.minimum((lengths // f) * f, t).astype(jnp.int32)
         return mels[:, :t], lengths
 
-    def encode(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """audio [B, T] -> (indices [B, G*R, L], lengths [B])."""
-        mels, lengths = self._mels(audio)
+    def encode(
+        self, audio: np.ndarray, audio_lengths=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] (+ per-sample sample counts) ->
+        (indices [B, G*R, L], index lengths [B])."""
+        mels, lengths = self._mels(audio, audio_lengths)
         idx, idx_len = self._encode(self.params, mels, lengths)
         return np.asarray(idx), np.asarray(idx_len)
 
@@ -125,17 +138,21 @@ class DMelCodecAdapter:
         mel = self._decode_mel(self.params, indices, lengths, noise)
         if self.vocoder is None:
             return np.zeros((indices.shape[0], 0), np.float32), np.asarray(mel)
-        wav = self.vocoder.apply({"params": self.vocoder_params}, mel)
+        if self._vocode is None:
+            self._vocode = jax.jit(
+                lambda vp, m: self.vocoder.apply({"params": vp}, m)
+            )
+        wav = self._vocode(self.vocoder_params, mel)
         return np.asarray(wav, dtype=np.float32), np.asarray(mel)
 
-    def rec_audio_from_audio(self, audio: np.ndarray) -> np.ndarray:
-        idx, lengths = self.encode(audio)
+    def rec_audio_from_audio(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        idx, lengths = self.encode(audio, audio_lengths)
         wav, _ = self.decode(idx, lengths)
         return wav
 
-    def get_latent(self, audio: np.ndarray) -> np.ndarray:
+    def get_latent(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
         """Unquantized encoder features [B*G, T, res] (ref latent path)."""
-        mels, lengths = self._mels(audio)
+        mels, lengths = self._mels(audio, audio_lengths)
         return np.asarray(self._latent(self.params, mels, lengths))
 
 

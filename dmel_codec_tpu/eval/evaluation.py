@@ -44,7 +44,7 @@ class Evaluation:
         lengths = np.asarray(batch["audio_lengths"])
         sr = self.codec.sample_rate
 
-        indices, idx_lengths = self.codec.encode(gt)
+        indices, idx_lengths = self.codec.encode(gt, batch.get("audio_lengths"))
         rec, rec_mel = self.codec.decode(indices, idx_lengths)
 
         out: Dict[str, float] = {}

@@ -24,7 +24,9 @@ def lm_batch_from_audio(
     pad_to: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """batch: {'audios' [B, L], 'audio_lengths' [B], 'texts': [str]}."""
-    indices, idx_lengths = codec_adapter.encode(np.asarray(batch["audios"]))
+    indices, idx_lengths = codec_adapter.encode(
+        np.asarray(batch["audios"]), batch.get("audio_lengths")
+    )
     grids = []
     for i, text in enumerate(batch["texts"]):
         n = min(int(idx_lengths[i]), builder.max_length)

@@ -21,12 +21,15 @@ def apply_repetition_penalty(
     valid: jnp.ndarray,
     penalty: float,
 ) -> jnp.ndarray:
-    """logits [V]; previous_tokens [W] int; valid [W] bool."""
+    """logits [V]; previous_tokens [W] int; valid [W] bool.
+
+    Implemented as a boolean max-scatter + select: a value scatter with
+    duplicate indices (a token both in a valid and an invalid window slot)
+    would pick an arbitrary winner."""
     prev = previous_tokens.astype(jnp.int32)
-    score = logits[prev]
-    new = jnp.where(score < 0, score * penalty, score / penalty)
-    new = jnp.where(valid, new, score)
-    return logits.at[prev].set(new)
+    hit = jnp.zeros(logits.shape, bool).at[prev].max(valid)
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(hit, penalized, logits)
 
 
 def logits_to_probs(

@@ -131,9 +131,19 @@ class ChatMusicLM(nn.Module):
     def embed_inputs(
         self, text_ids: jnp.ndarray, audio_ids: jnp.ndarray
     ) -> jnp.ndarray:
-        """text_ids [B, S], audio_ids [B, S, C] (shifted ids) -> [B, S, H]."""
+        """text_ids [B, S], audio_ids [B, S, C] (shifted ids) -> [B, S, H].
+
+        Pad ids embed to exact zeros (torch nn.Embedding padding_idx
+        semantics: the pad row is zero and never learns, lm.py:39-49), so
+        modality-pad frames contribute nothing through the bias-free
+        projector."""
+        cfg = self.config
         text = self.text_embed(text_ids)
+        text = jnp.where((text_ids == cfg.text_pad_id)[..., None], 0.0, text)
         audio = self.slow_audio_embed(audio_ids)  # [B, S, C, H]
+        audio = jnp.where(
+            (audio_ids == cfg.slow_audio_pad_id)[..., None], 0.0, audio
+        )
         b, s = audio.shape[:2]
         audio = self.audio_projector(audio.reshape(b, s, -1))
         return text + audio
@@ -162,6 +172,9 @@ class ChatMusicLM(nn.Module):
         h = self.fast_pre_norm(slow_hidden[:, :-1, :])
         h = self.fast_projector(h)  # [B, S-1, h_fast]
         cb_emb = self.fast_audio_embed(fast_ids)  # [B, S-1, C, h_fast]
+        cb_emb = jnp.where(
+            (fast_ids == cfg.fast_audio_pad_id)[..., None], 0.0, cb_emb
+        )  # fast pad row is torch padding_idx (config_lm fast_lm.json:25)
         fast_in = jnp.concatenate([h[:, :, None, :], cb_emb], axis=2)
         fast_in = fast_in.reshape(b * (s - 1), c + 1, -1)
         fast_hidden, _ = self.fast_decoder(fast_in)

@@ -128,6 +128,7 @@ class Attention(nn.Module):
         mask: jnp.ndarray,
         cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        mask_is_causal: bool = False,
     ):
         cfg = self.config
         b, s, _ = x.shape
@@ -151,7 +152,12 @@ class Attention(nn.Module):
             k, v = ck, cv
             new_kv = (ck, cv)
 
-        if cfg.flash_attention and cache_kv is None and s >= cfg.flash_min_seq:
+        if (
+            cfg.flash_attention
+            and cache_kv is None
+            and s >= cfg.flash_min_seq
+            and mask_is_causal  # a caller-supplied mask must use the einsum path
+        ):
             out = _flash_causal_attention(q, k, v, cfg)
             out = nn.Dense(cfg.num_heads * hd, use_bias=False, name="o_proj")(
                 out.reshape(b, s, -1)
@@ -216,7 +222,9 @@ class Block(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask, cache_kv=None, cache_index=None):
+    def __call__(
+        self, x, cos, sin, mask, cache_kv=None, cache_index=None, mask_is_causal=False
+    ):
         attn_out, new_kv = Attention(self.config, name="self_attn")(
             RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x),
             cos,
@@ -224,6 +232,7 @@ class Block(nn.Module):
             mask,
             cache_kv,
             cache_index,
+            mask_is_causal,
         )
         x = x + attn_out
         x = x + MLP(self.config, name="mlp")(
@@ -253,10 +262,12 @@ class Decoder(nn.Module):
         cfg = self.config
         b, s, _ = inputs_embeds.shape
 
+        mask_is_causal = False
         if cache is None:
             if positions is None:
                 positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
             if attn_mask is None:
+                mask_is_causal = True
                 causal = jnp.tril(jnp.ones((s, s), bool))
                 attn_mask = jnp.broadcast_to(causal, (b, s, s))
             cache_index = None
@@ -277,7 +288,7 @@ class Decoder(nn.Module):
 
         if cfg.scan_layers:
             x, stacked_kv = self._scan_layers(
-                block_cls, x, cos, sin, attn_mask, cache, cache_index
+                block_cls, x, cos, sin, attn_mask, cache, cache_index, mask_is_causal
             )
             new_k, new_v = ([], []) if stacked_kv is None else stacked_kv
         else:
@@ -287,7 +298,7 @@ class Decoder(nn.Module):
                     (cache["k"][i], cache["v"][i]) if cache is not None else None
                 )
                 x, kv = block_cls(cfg, name=f"layers_{i}")(
-                    x, cos, sin, attn_mask, layer_cache, cache_index
+                    x, cos, sin, attn_mask, layer_cache, cache_index, mask_is_causal
                 )
                 if kv is not None:
                     new_k.append(kv[0])
@@ -308,7 +319,9 @@ class Decoder(nn.Module):
             }
         return x, new_cache
 
-    def _scan_layers(self, block_cls, x, cos, sin, attn_mask, cache, cache_index):
+    def _scan_layers(
+        self, block_cls, x, cos, sin, attn_mask, cache, cache_index, mask_is_causal
+    ):
         """One compiled Block body scanned over stacked per-layer params."""
         cfg = self.config
         if cache is None:
@@ -316,11 +329,13 @@ class Decoder(nn.Module):
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast,) * 6,
                 out_axes=0,
                 length=cfg.num_layers,
             )
-            x, _ = scanned(cfg, name="layers")(x, cos, sin, attn_mask)
+            x, _ = scanned(cfg, name="layers")(
+                x, cos, sin, attn_mask, None, None, mask_is_causal
+            )
             return x, None
 
         scanned = nn.scan(

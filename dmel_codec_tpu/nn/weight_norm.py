@@ -74,13 +74,12 @@ class WNConv(nn.Module):
         v = self.param(
             "v", self.kernel_init, (*self.kernel_size, in_ch, self.features)
         )
+        # g = ||v|| at init (torch weight_norm identity) — closes over the
+        # ACTUAL v, not an independent kernel_init draw
         g = self.param(
             "g",
             lambda rng, shape: jnp.sqrt(
-                jnp.sum(
-                    self.kernel_init(rng, (*self.kernel_size, in_ch, self.features)) ** 2,
-                    axis=tuple(range(ndim + 1)),
-                )
+                jnp.sum(v**2, axis=tuple(range(ndim + 1)))
             ),
             (self.features,),
         )
@@ -127,9 +126,7 @@ class WNConvTranspose1d(nn.Module):
         v = self.param("v", self.kernel_init, shape)
         g = self.param(
             "g",
-            lambda rng, s: jnp.sqrt(
-                jnp.sum(self.kernel_init(rng, shape) ** 2, axis=(0, 2))
-            ),
+            lambda rng, s: jnp.sqrt(jnp.sum(v**2, axis=(0, 2))),
             (in_ch,),
         )
         kernel = weight_norm_kernel(v, g, axis=1)

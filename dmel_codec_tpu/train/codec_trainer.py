@@ -58,7 +58,7 @@ class CodecTrainConfig:
     grad_clip: float = 1000.0
     num_warmup_steps: int = 100
     num_training_steps: int = 1_000_000
-    final_lr_ratio: float = 0.05
+    final_lr_ratio: float = 0.01  # stage/pretrain.yaml:44
     accumulate_grad: int = 1
     freeze_encoder: bool = False
 
@@ -192,7 +192,10 @@ class CodecTrainer:
             fake = self.discriminator.apply({"params": disc_params}, gen_mel_sg)
             d_mask = resample_mask_nearest(mel_masks, real.shape[2])
             total, loss_real, loss_fake = discriminator_loss(real, fake, d_mask)
-            return total / cfg.accumulate_grad, (loss_real, loss_fake, d_mask)
+            # no accumulate_grad scaling here: optax.MultiSteps averages the
+            # accumulated gradients (the reference divides because torch
+            # grad accumulation SUMS, codec_lit_modules.py:223)
+            return total, (loss_real, loss_fake, d_mask)
 
         (loss_d, (loss_real, loss_fake, d_mask)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -207,9 +210,7 @@ class CodecTrainer:
             loss_mel = weighted_mel_loss(gm, gt_mels, mel_masks)
             fake = self.discriminator.apply({"params": disc_params}, gm)
             loss_adv = adversarial_loss(fake, d_mask)
-            total = (
-                cfg.weight_mel * loss_mel + cfg.weight_adv * loss_adv
-            ) / cfg.accumulate_grad
+            total = cfg.weight_mel * loss_mel + cfg.weight_adv * loss_adv
             return total, (loss_mel, loss_adv)
 
         (loss_g, (loss_mel, loss_adv)), dgen_mel = jax.value_and_grad(
@@ -222,13 +223,14 @@ class CodecTrainer:
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
         metrics = {
-            "train/discriminator/loss": loss_d * cfg.accumulate_grad,
+            "train/discriminator/loss": loss_d,
             "train/discriminator/loss_real": loss_real,
             "train/discriminator/loss_fake": loss_fake,
-            "train/generator/loss": loss_g * cfg.accumulate_grad,
+            "train/generator/loss": loss_g,
             "train/generator/loss_mel": loss_mel,
             "train/generator/loss_adv": loss_adv,
-            "train/lr": self.schedule(state.step),
+            # the inner schedule advances once per accumulated update
+            "train/lr": self.schedule(state.step // max(1, cfg.accumulate_grad)),
         }
         new_state = CodecTrainState(
             step=state.step + 1,

@@ -47,15 +47,18 @@ class LMTrainState(flax.struct.PyTreeNode):
 
 
 def _decay_mask(params):
-    """True = apply weight decay. No decay for biases, norm weights,
-    embeddings (ref configure_optimizers :160-188)."""
+    """True = apply weight decay. No decay for biases and norm weights
+    (ref configure_optimizers :160-188). The reference ALSO lists
+    ".embeddings." but that substring never matches its parameter names
+    (embed_tokens.weight / slow_lm_audio_emb.weight), so embeddings
+    actually receive weight decay there — matched here."""
 
     def fn(path, _):
         names = [
             p.key if hasattr(p, "key") else str(p) for p in path
         ]
         leaf = names[-1]
-        if leaf == "bias" or leaf == "embedding":
+        if leaf == "bias":
             return False
         if leaf == "weight" and any("norm" in n.lower() for n in names):
             return False

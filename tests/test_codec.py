@@ -126,3 +126,20 @@ def test_codec_encode_is_jittable():
 
     indices, _ = run(jnp.zeros((1, 64, CFG.n_mels)), jnp.array([64]))
     assert indices.shape == (1, CFG.num_codebook_rows, 16)
+
+
+def test_weight_norm_identity_at_init():
+    """g == ||v|| at init, so the effective kernel equals v (torch parity)."""
+    import jax
+
+    from dmel_codec_tpu.nn.weight_norm import WNConv, WNConvTranspose1d
+
+    conv = WNConv(8, kernel_size=(3, 9), padding=(1, 4))
+    p = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 12, 1)))["params"]
+    want = np.sqrt((np.asarray(p["v"]) ** 2).sum(axis=(0, 1, 2)))
+    np.testing.assert_allclose(np.asarray(p["g"]), want, rtol=1e-6)
+
+    convt = WNConvTranspose1d(8, kernel_size=4, stride=2)
+    p = convt.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 6)))["params"]
+    want = np.sqrt((np.asarray(p["v"]) ** 2).sum(axis=(0, 2)))
+    np.testing.assert_allclose(np.asarray(p["g"]), want, rtol=1e-6)

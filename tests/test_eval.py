@@ -130,3 +130,16 @@ def test_evaluation_harness_runs(rng, adapter):
     assert latent.shape[0] == x.shape[0] * adapter.config.dmel_groups
     rec = adapter.rec_audio_from_audio(x)
     assert rec.shape[0] == x.shape[0]  # no vocoder -> empty time axis ok
+
+
+def test_adapter_respects_audio_lengths(rng, adapter):
+    """Padded tail must not change the valid region's tokens."""
+    n = 256 * 16
+    a = rng.standard_normal(n).astype(np.float32) * 0.3
+    full = np.zeros((1, 2 * n), np.float32)
+    full[0, :n] = a
+    idx_padded, len_padded = adapter.encode(full, np.array([n]))
+    idx_exact, len_exact = adapter.encode(a[None, :], np.array([n]))
+    assert int(len_padded[0]) == int(len_exact[0])
+    L = int(len_exact[0])
+    np.testing.assert_array_equal(idx_padded[0, :, :L], idx_exact[0, :, :L])

@@ -182,3 +182,21 @@ def test_generation_smoke(rng):
     raw = gen.deshift(audio_ids)
     shift = np.arange(10) * 180
     np.testing.assert_array_equal(raw + shift, audio_ids)
+
+
+def test_pad_embeddings_are_zero():
+    """Modality pads must embed to exact zeros (torch padding_idx parity)."""
+    import jax
+
+    from dmel_codec_tpu.train.lm_trainer import LMTrainConfig, LMTrainer
+
+    trainer = LMTrainer(TINY_LM)
+    params = trainer.init_state(jax.random.PRNGKey(0)).params
+    model = ChatMusicLM(config=TINY_LM)
+    cfg = TINY_LM
+    text = jnp.array([[cfg.text_pad_id, 5]])
+    audio = jnp.array([[[cfg.slow_audio_pad_id] * 10, list(range(10))]])
+    emb = model.apply({"params": params}, text, audio, method=ChatMusicLM.embed_inputs)
+    # position 0 is all-pad in both modalities -> exactly zero
+    np.testing.assert_array_equal(np.asarray(emb[0, 0]), 0.0)
+    assert float(jnp.abs(emb[0, 1]).sum()) > 0

@@ -41,3 +41,34 @@ def load_codec_adapter(
         vocoder_params=vocoder_params,
         vocoder_config=vocoder_cfg,
     )
+
+
+def build_lm_config(cfg: dict):
+    """SlowFastLMConfig from a CLI YAML: optional `slow_lm:` / `fast_lm:`
+    sections override the flagship TransformerConfigs (testing, smaller
+    deployments); text/audio loss weights come from the top level."""
+    import dataclasses
+
+    from dmel_codec_tpu.models.lm import SlowFastLMConfig
+    from dmel_codec_tpu.models.transformer import TransformerConfig
+    from dmel_codec_tpu.utils.config import dataclass_from_dict
+
+    kwargs = dict(
+        text_weight=cfg.get("text_weight", 0.01),
+        audio_weight=cfg.get("audio_weight", 1.0),
+    )
+    base = SlowFastLMConfig()
+    if cfg.get("slow_lm"):
+        kwargs["slow"] = dataclasses.replace(
+            base.slow, **dataclass_from_dict_overrides(cfg["slow_lm"])
+        )
+    if cfg.get("fast_lm"):
+        kwargs["fast"] = dataclasses.replace(
+            base.fast, **dataclass_from_dict_overrides(cfg["fast_lm"])
+        )
+    return SlowFastLMConfig(**kwargs)
+
+
+def dataclass_from_dict_overrides(d: dict) -> dict:
+    """Tuple-ize list values for frozen dataclass replacement."""
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 from scipy.io import wavfile
 
-from dmel_codec_tpu.cli.common import load_codec_adapter
+from dmel_codec_tpu.cli.common import build_lm_config, load_codec_adapter
 from dmel_codec_tpu.lm.generate import InferenceConfig, SlowFastGenerator
 from dmel_codec_tpu.lm.inputs import TokenGridBuilder
 from dmel_codec_tpu.lm.tokenizer import load_text_tokenizer
@@ -36,11 +36,13 @@ def main(argv=None):
     cfg = load_yaml(args.config)
     prompt = args.prompt or cfg.get("prompt", "who are you?")
 
-    lm_cfg = SlowFastLMConfig()
+    lm_cfg = build_lm_config(cfg)
     trainer = LMTrainer(lm_cfg, LMTrainConfig())
     abstract = trainer.init_state(jax.random.PRNGKey(0))
-    state = CheckpointManager(cfg["lm_ckpt_dir"]).restore_latest(abstract)
-    if state is None:
+    restored = CheckpointManager(cfg["lm_ckpt_dir"]).restore_latest_fields(
+        abstract, ("params",)
+    )
+    if restored is None:
         raise FileNotFoundError(f"no LM checkpoint under {cfg['lm_ckpt_dir']}")
 
     from dmel_codec_tpu.models.codec import DMelCodecConfig
@@ -58,7 +60,7 @@ def main(argv=None):
 
     text_ids = tokenizer.encode(prompt)
     text_t, audio_t = builder.build_infer_grid(text_ids=text_ids)
-    gen = SlowFastGenerator(ChatMusicLM(config=lm_cfg), state.params, icfg)
+    gen = SlowFastGenerator(ChatMusicLM(config=lm_cfg), restored["params"], icfg)
     audio_ids, _ = gen.generate(text_t, audio_t, jax.random.PRNGKey(args.seed))
     if audio_ids.shape[0] <= 1:
         log.info("model generated no audio frames")

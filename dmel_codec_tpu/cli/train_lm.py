@@ -19,7 +19,8 @@ from dmel_codec_tpu.data.manifest import load_manifest
 from dmel_codec_tpu.lm.data import lm_batch_from_audio
 from dmel_codec_tpu.lm.inputs import TokenGridBuilder
 from dmel_codec_tpu.lm.tokenizer import load_text_tokenizer
-from dmel_codec_tpu.models.lm import SlowFastLMConfig, load_qwen2_foundation
+from dmel_codec_tpu.cli.common import build_lm_config
+from dmel_codec_tpu.models.lm import load_qwen2_foundation
 from dmel_codec_tpu.train.lm_loop import LMFitLoop
 from dmel_codec_tpu.train.lm_trainer import LMTrainConfig, LMTrainer, LMTrainState
 from dmel_codec_tpu.train.loop import FitConfig
@@ -37,10 +38,7 @@ def main(argv=None):
     cfg = load_yaml(args.config)
     log.info("config:\n" + print_config_tree(cfg))
 
-    lm_cfg = SlowFastLMConfig(
-        text_weight=cfg.get("text_weight", 0.01),
-        audio_weight=cfg.get("audio_weight", 1.0),
-    )
+    lm_cfg = build_lm_config(cfg)
     train_cfg = dataclass_from_dict(LMTrainConfig, cfg.get("train"))
     fit_cfg = dataclass_from_dict(FitConfig, cfg.get("fit"))
     data = cfg.get("data", {})

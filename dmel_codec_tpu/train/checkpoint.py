@@ -49,5 +49,22 @@ class CheckpointManager:
         )
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
+    def restore_latest_fields(self, abstract_state: Any, fields) -> Optional[dict]:
+        """Partial restore of selected top-level train-state fields (e.g.
+        ('params', 'step') for inference — optimizer-state structure can
+        differ between the training and serving configurations)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        item = {
+            f: jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, getattr(abstract_state, f)
+            )
+            for f in fields
+        }
+        return self._mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item=item, partial_restore=True)
+        )
+
     def close(self) -> None:
         self._mgr.close()

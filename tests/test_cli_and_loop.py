@@ -206,3 +206,90 @@ def test_evaluate_cli_on_trained_checkpoint(tmp_path, tiny_dataset, capsys):
     out = capsys.readouterr().out
     result = json.loads(out[out.index("{"):])
     assert "mel_l1" in result and np.isfinite(result["mel_l1"])
+
+
+def test_train_lm_and_infer_lm_cli_end_to_end(tmp_path, tiny_dataset):
+    """codec ckpt -> LM training CLI (tiny sizes) -> LM inference CLI."""
+    from dmel_codec_tpu.cli.infer_lm import main as infer_main
+    from dmel_codec_tpu.cli.train_codec import main as codec_main
+    from dmel_codec_tpu.cli.train_lm import main as lm_main
+
+    codec_model = {
+        "encoder_residual_channels": 12,
+        "encoder_layers": 2,
+        "decoder_layers": 2,
+    }
+    codec_cfg = {
+        "model": codec_model,
+        "train": {"num_warmup_steps": 1, "num_training_steps": 100},
+        "fit": {
+            "max_steps": 1,
+            "val_interval": 10,
+            "ckpt_dir": str(tmp_path / "codec_ckpt"),
+            "log_dir": str(tmp_path / "codec_logs"),
+            "use_mesh": False,
+        },
+        "data": {"train_manifest": tiny_dataset, "max_duration": 1.0},
+    }
+    with open(tmp_path / "codec.yaml", "w") as f:
+        yaml.safe_dump(codec_cfg, f)
+    codec_main(["--config", str(tmp_path / "codec.yaml")])
+
+    tiny_lm = {
+        "slow_lm": {
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_layers": 2,
+            "num_heads": 4,
+            "num_kv_heads": 2,
+        },
+        "fast_lm": {
+            "hidden_size": 24,
+            "intermediate_size": 48,
+            "num_layers": 2,
+            "num_heads": 4,
+            "num_kv_heads": 2,
+        },
+    }
+    lm_cfg = {
+        "codec_ckpt_dir": str(tmp_path / "codec_ckpt"),
+        "codec_model": codec_model,
+        **tiny_lm,
+        "train": {"accumulate_grad": 1, "num_warmup_steps": 1},
+        "fit": {
+            "max_steps": 2,
+            "val_interval": 100,
+            "log_every": 1,
+            "ckpt_dir": str(tmp_path / "lm_ckpt"),
+            "log_dir": str(tmp_path / "lm_logs"),
+            "use_mesh": False,
+        },
+        "data": {"train_manifest": tiny_dataset, "max_duration": 1.0},
+    }
+    with open(tmp_path / "lm.yaml", "w") as f:
+        yaml.safe_dump(lm_cfg, f)
+    lm_main(["--config", str(tmp_path / "lm.yaml")])
+
+    from dmel_codec_tpu.train.checkpoint import CheckpointManager
+
+    assert CheckpointManager(str(tmp_path / "lm_ckpt")).latest_step() == 2
+
+    infer_cfg = {
+        "lm_ckpt_dir": str(tmp_path / "lm_ckpt"),
+        "codec_ckpt_dir": str(tmp_path / "codec_ckpt"),
+        "model": codec_model,
+        **tiny_lm,
+        "inference": {"max_new_tokens": 3, "max_seq_len": 64},
+    }
+    with open(tmp_path / "infer.yaml", "w") as f:
+        yaml.safe_dump(infer_cfg, f)
+    infer_main(
+        [
+            "--config",
+            str(tmp_path / "infer.yaml"),
+            "--prompt",
+            "hi",
+            "--out",
+            str(tmp_path / "out.wav"),
+        ]
+    )

@@ -13,15 +13,17 @@ from dmel_codec_tpu.train.checkpoint import CheckpointManager
 from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
 
 
-def load_codec_state(ckpt_dir: str, codec_cfg: Optional[DMelCodecConfig] = None):
-    """Restore the newest CodecTrainState from an orbax directory."""
+def load_codec_params(ckpt_dir: str, codec_cfg: Optional[DMelCodecConfig] = None):
+    """Restore just the generator params from the newest codec checkpoint
+    (optimizer-state structure depends on the training configuration, which
+    the serving side need not replicate)."""
     trainer = CodecTrainer(codec_cfg or DMelCodecConfig(), CodecTrainConfig())
     abstract = trainer.init_state(jax.random.PRNGKey(0))
     mgr = CheckpointManager(ckpt_dir)
-    state = mgr.restore_latest(abstract)
-    if state is None:
+    restored = mgr.restore_latest_fields(abstract, ("gen_params",))
+    if restored is None:
         raise FileNotFoundError(f"no checkpoint found under {ckpt_dir}")
-    return trainer, state
+    return restored["gen_params"]
 
 
 def load_codec_adapter(
@@ -30,13 +32,13 @@ def load_codec_adapter(
     vocoder_ckpt: Optional[str] = None,
     vocoder_cfg: Optional[BigVGANConfig] = None,
 ) -> DMelCodecAdapter:
-    _, state = load_codec_state(ckpt_dir, codec_cfg)
+    gen_params = load_codec_params(ckpt_dir, codec_cfg)
     vocoder_params = None
     if vocoder_ckpt:
         vocoder_cfg = vocoder_cfg or BigVGANConfig()
         vocoder_params = load_torch_checkpoint(vocoder_ckpt, vocoder_cfg)
     return DMelCodecAdapter(
-        state.gen_params,
+        gen_params,
         codec_cfg or DMelCodecConfig(),
         vocoder_params=vocoder_params,
         vocoder_config=vocoder_cfg,

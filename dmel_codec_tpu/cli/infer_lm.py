@@ -54,7 +54,12 @@ def main(argv=None):
     )
     tokenizer = load_text_tokenizer(cfg.get("text_tokenizer_path"))
     builder = TokenGridBuilder(
-        config=lm_cfg, silence_length=cfg.get("silence_length", 3)
+        config=lm_cfg,
+        max_length=cfg.get("max_length", 4096),
+        silence_length=cfg.get("silence_length", 3),
+        audio_silence_id=tuple(
+            cfg.get("audio_silence_id", (0, 0, 29, 174, 0, 6, 0, 146, 146, 6))
+        ),
     )
     icfg = dataclass_from_dict(InferenceConfig, cfg.get("inference"))
 

@@ -61,6 +61,7 @@ def main(argv=None):
 
     train_cuts = load_manifest(data["train_manifest"])
     n_shards, shard = jax.process_count(), jax.process_index()
+    batch_multiple = jax.device_count() if fit_cfg.use_mesh else 1
 
     def train_batches(epoch):
         loader = DataLoader(
@@ -69,6 +70,7 @@ def main(argv=None):
             seed=data.get("seed", 0),
             num_shards=n_shards,
             shard_index=shard,
+            batch_multiple=batch_multiple,
         )
         for audio_batch in loader.epoch(epoch):
             yield lm_batch_from_audio(codec, builder, tokenizer, audio_batch)

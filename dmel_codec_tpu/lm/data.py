@@ -22,8 +22,13 @@ def lm_batch_from_audio(
     tokenizer,
     batch: Dict,
     pad_to: Optional[int] = None,
+    pad_to_multiple: int = 64,
 ) -> Dict[str, np.ndarray]:
-    """batch: {'audios' [B, L], 'audio_lengths' [B], 'texts': [str]}."""
+    """batch: {'audios' [B, L], 'audio_lengths' [B], 'texts': [str]}.
+
+    Without an explicit pad_to, the sequence length is rounded up to
+    `pad_to_multiple` so the jitted train step sees a small set of static
+    shapes instead of recompiling per batch."""
     indices, idx_lengths = codec_adapter.encode(
         np.asarray(batch["audios"]), batch.get("audio_lengths")
     )
@@ -33,4 +38,7 @@ def lm_batch_from_audio(
         audio_ids = indices[i, :, :n].T  # [L, C]
         text_ids = tokenizer.encode(text or "")
         grids.append(builder.build_train_grid(text_ids, audio_ids))
+    if pad_to is None and pad_to_multiple > 1:
+        m = max(len(t) for t, _, _ in grids)
+        pad_to = ((m + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     return pad_grids_to_batch(grids, builder.config, pad_to=pad_to)

@@ -256,8 +256,16 @@ class SlowFastGenerator:
             window_valid[:n_hist] = True
 
         rng, r = jax.random.split(rng)
+        # prefill samples WITHOUT repetition penalty (reference passes
+        # previous_token=None at prefill, lm_lit_modules.py:520-532): an
+        # all-False validity mask makes the penalty a no-op
         cache, first_text, first_audio = self._frame_step(
-            self.params, cache, embeds, jnp.asarray(window), jnp.asarray(window_valid), r
+            self.params,
+            cache,
+            embeds,
+            jnp.asarray(window),
+            jnp.zeros_like(jnp.asarray(window_valid)),
+            r,
         )
         if not hasattr(self, "_gen_jit"):
             self._gen_jit = jax.jit(self._generate_impl, donate_argnums=(1,))
@@ -304,14 +312,19 @@ class SlowFastGenerator:
 
         gen_text, gen_audio = [], []
         step_embeds = embeds
+        is_prefill = True
         for _ in range(icfg.max_new_tokens):
             rng, r = jax.random.split(rng)
+            valid = (
+                np.zeros_like(window_valid) if is_prefill else window_valid
+            )  # no penalty at prefill (ref :520-532)
+            is_prefill = False
             cache, text_token, audio_frame = self._frame_step(
                 self.params,
                 cache,
                 step_embeds,
                 jnp.asarray(window),
-                jnp.asarray(window_valid),
+                jnp.asarray(valid),
                 r,
             )
             text_id = int(text_token)

@@ -285,7 +285,7 @@ def fused_anti_alias_activation(
     # on sublanes, time on lanes — shifts become lane rotates); otherwise
     # the unfused XLA path.
     small_c = c < 128
-    if x.shape[1] < 32 or (not interpret and small_c and c % 8 != 0):
+    if x.shape[1] < 32 or (small_c and c % 8 != 0):
         return anti_alias_activation_reference(x, alpha, beta, logscale)
     a = jnp.exp(alpha) if logscale else alpha
     if beta is None:
@@ -293,7 +293,7 @@ def fused_anti_alias_activation(
     else:
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
-    if small_c and not interpret:
+    if small_c:  # interpret mode takes the same path (CPU test coverage)
         y = _fused_forward_small_c(x, a, inv_b, interpret=interpret)
         if exact_edges:
             head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)

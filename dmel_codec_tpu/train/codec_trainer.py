@@ -122,6 +122,13 @@ class CodecTrainer:
             return optax.MultiSteps(tx, self.config.accumulate_grad)
         return tx
 
+    def _ensure_optimizers(self, gen_params):
+        """Build (once) and cache the optimizers; train_step works on
+        externally constructed states too."""
+        if not hasattr(self, "_gen_tx"):
+            self._gen_tx, self._disc_tx = self.make_optimizers(gen_params)
+        return self._gen_tx, self._disc_tx
+
     def make_optimizers(self, gen_params):
         c = self.config
         gen_tx = optax.chain(optax.clip_by_global_norm(c.grad_clip), self._adamw())
@@ -142,8 +149,7 @@ class CodecTrainer:
             k1, mels, masks, jnp.zeros((1, 1)), jnp.zeros((1, max_frames, cfg.concat_dim))
         )["params"]
         disc_params = self.discriminator.init(k2, mels)["params"]
-        gen_tx, disc_tx = self.make_optimizers(gen_params)
-        self._gen_tx, self._disc_tx = gen_tx, disc_tx
+        gen_tx, disc_tx = self._ensure_optimizers(gen_params)
         return CodecTrainState(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
@@ -169,6 +175,7 @@ class CodecTrainer:
     ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
         """batch: {'audios': [B, L] float, 'audio_lengths': [B] int}."""
         cfg = self.config
+        self._ensure_optimizers(state.gen_params)
         audios = batch["audios"].astype(jnp.float32)
         encode_mels, gt_mels, mel_masks, quality = self._prepare(
             audios, batch["audio_lengths"]

@@ -43,10 +43,10 @@ class LMFitLoop:
 
         if state is None:
             state = self.trainer.init_state(jax.random.PRNGKey(cfg.seed))
-            restored = ckpt.restore_latest(state)
-            if restored is not None:
-                state = restored
-                log.info(f"resumed from checkpoint step {int(state.step)}")
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            log.info(f"resumed from checkpoint step {int(state.step)}")
 
         step_fn = self.trainer.jit_train_step(mesh)
         loss_fn = jax.jit(self.trainer.loss_fn)
@@ -62,21 +62,25 @@ class LMFitLoop:
                 step = int(state.step)
                 if step % cfg.log_every == 0:
                     writer.scalars(step, {k: float(v) for k, v in metrics.items()})
-                if self.val_batches is not None and step % cfg.val_interval == 0:
-                    losses = []
-                    for i, vb in enumerate(self.val_batches()):
-                        if i >= cfg.max_val_batches:
-                            break
-                        loss, _ = loss_fn(state.params, self._device_batch(vb))
-                        losses.append(float(loss))
-                    if losses:
-                        writer.scalars(step, {"val/audio_loss": float(np.mean(losses))})
-                        log.info(f"step {step}: val loss {np.mean(losses):.4f}")
-                    ckpt.save(step, state)
+                if step % cfg.val_interval == 0:
+                    if self.val_batches is not None:
+                        losses = []
+                        for i, vb in enumerate(self.val_batches()):
+                            if i >= cfg.max_val_batches:
+                                break
+                            loss, _ = loss_fn(state.params, self._device_batch(vb))
+                            losses.append(float(loss))
+                        if losses:
+                            writer.scalars(
+                                step, {"val/audio_loss": float(np.mean(losses))}
+                            )
+                            log.info(f"step {step}: val loss {np.mean(losses):.4f}")
+                    ckpt.save(step, state)  # checkpoint cadence == val cadence
                 if step >= cfg.max_steps:
                     break
             epoch += 1
-        ckpt.save(step, state)
+        if ckpt.latest_step() != step:
+            ckpt.save(step, state)
         ckpt.wait()
         writer.close()
         return state

@@ -108,6 +108,11 @@ class LMTrainer:
             final_lr_ratio=c.final_lr_ratio,
         )
 
+    def _ensure_optimizer(self, params) -> optax.GradientTransformation:
+        if not hasattr(self, "_tx"):
+            self._tx = self.make_optimizer(params)
+        return self._tx
+
     def make_optimizer(self, params) -> optax.GradientTransformation:
         c = self.config
         tx = optax.chain(
@@ -145,7 +150,7 @@ class LMTrainer:
         params = self.model.init(
             rng, text, audio, method=ChatMusicLM.embed_inputs
         )["params"] | params
-        self._tx = self.make_optimizer(params)
+        self._ensure_optimizer(params)
         return LMTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -168,6 +173,7 @@ class LMTrainer:
     def train_step(
         self, state: LMTrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[LMTrainState, Dict[str, jnp.ndarray]]:
+        self._ensure_optimizer(state.params)
         (loss, out), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
             state.params, batch
         )

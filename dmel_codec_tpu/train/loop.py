@@ -72,10 +72,10 @@ class CodecFitLoop:
 
         if state is None:
             state = self.trainer.init_state(jax.random.PRNGKey(cfg.seed))
-            restored = ckpt.restore_latest(state)
-            if restored is not None:
-                state = restored
-                log.info(f"resumed from checkpoint step {int(state.step)}")
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            log.info(f"resumed from checkpoint step {int(state.step)}")
 
         step_fn = self.trainer.jit_train_step(mesh)
         self._eval_fn = jax.jit(self.trainer.eval_step)
@@ -92,13 +92,15 @@ class CodecFitLoop:
                 step = int(state.step)
                 if step % cfg.log_every == 0:
                     writer.scalars(step, {k: float(v) for k, v in metrics.items()})
-                if self.val_batches is not None and step % cfg.val_interval == 0:
-                    self._validate(state, writer, step)
-                    ckpt.save(step, state)
+                if step % cfg.val_interval == 0:
+                    if self.val_batches is not None:
+                        self._validate(state, writer, step)
+                    ckpt.save(step, state)  # checkpoint cadence == val cadence
                 if step >= cfg.max_steps:
                     break
             epoch += 1
-        ckpt.save(step, state)
+        if ckpt.latest_step() != step:
+            ckpt.save(step, state)
         ckpt.wait()
         writer.close()
         return state

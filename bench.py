@@ -27,7 +27,7 @@ from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
 from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
 
 BASELINE_XRT = 50.0
-BATCH = 4
+BATCH = 16
 SECONDS = 4
 DTYPE = jnp.bfloat16  # serving precision (the reference casts to bf16 too)
 

@@ -200,3 +200,23 @@ def test_pad_embeddings_are_zero():
     # position 0 is all-pad in both modalities -> exactly zero
     np.testing.assert_array_equal(np.asarray(emb[0, 0]), 0.0)
     assert float(jnp.abs(emb[0, 1]).sum()) > 0
+
+
+def test_on_device_generation_matches_stepwise_greedy(rng):
+    """With top_k=1 sampling is deterministic (argmax), so the on-device
+    while_loop generation and the per-frame host loop must produce
+    identical tokens — validating the fixed-shape fast decode against the
+    growing-shape one and the device loop against the host loop."""
+    model = ChatMusicLM(config=TINY_LM)
+    trainer = LMTrainer(TINY_LM, LMTrainConfig())
+    params = trainer.init_state(jax.random.PRNGKey(3)).params
+    builder = TokenGridBuilder(config=TINY_LM)
+    text_t, audio_t = builder.build_infer_grid(text_ids=np.array([5, 6, 7]))
+
+    icfg = InferenceConfig(max_new_tokens=5, max_seq_len=64, top_k=1)
+    gen = SlowFastGenerator(model, params, icfg)
+    a1, t1 = gen.generate(text_t, audio_t, jax.random.PRNGKey(1))
+    gen2 = SlowFastGenerator(model, params, icfg)
+    a2, t2 = gen2.generate_stepwise(text_t, audio_t, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)

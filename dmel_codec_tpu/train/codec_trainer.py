@@ -230,6 +230,10 @@ class CodecTrainer:
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
         metrics = {
+            # the reference configures a grad_norm_monitor with no
+            # implementing class (dMel_used.yaml:146-151) — provided here
+            "train/grad_norm/generator": optax.global_norm(g_grads),
+            "train/grad_norm/discriminator": optax.global_norm(d_grads),
             "train/discriminator/loss": loss_d,
             "train/discriminator/loss_real": loss_real,
             "train/discriminator/loss_fake": loss_fake,

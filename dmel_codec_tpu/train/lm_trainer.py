@@ -197,6 +197,7 @@ class LMTrainer:
             ignore_ids=(IGNORE_INDEX, cfg.slow_audio_pad_id),
         )
         metrics = {
+            "train/grad_norm": optax.global_norm(grads),
             "train/loss": loss,
             "train/text_loss": out["text_loss"],
             "train/audio_loss": out["audio_loss"],

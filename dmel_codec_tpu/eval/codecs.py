@@ -2,10 +2,11 @@
 
 Parity with reference evaluation/initial_codec.py:7-325: one facade with
 encode / decode / rec_audio_from_audio / latent extraction per codec.
-'dmel' is this framework's own stack; the external codecs (DAC,
-SpeechTokenizer, Mimi, fish-speech) require packages/weights that do not
-ship here — their constructors raise with install hints, keeping the
-registry shape identical for downstream harness code.
+'dmel' and 'fishspeech' are native stacks in this framework (DMelCodec and
+FireflyArchitecture); the remaining external codecs (DAC, SpeechTokenizer,
+Mimi) require packages/weights that do not ship here — their constructors
+raise with install hints, keeping the registry shape identical for
+downstream harness code.
 """
 
 from __future__ import annotations
@@ -156,6 +157,114 @@ class DMelCodecAdapter:
         return np.asarray(self._latent(self.params, mels, lengths))
 
 
+class FishSpeechAdapter:
+    """numpy-in/numpy-out facade over the native FireflyArchitecture codec.
+
+    Mirrors the reference's fish_speech paths in initial_codec.py:
+    extract_indices (:107-110), rec_audio_from_indices (:213-215),
+    rec_audio_from_audio (:241-246), extract_latent_unquantized (:137-146).
+    Runs entirely in this framework — no external fish-speech package.
+    """
+
+    name = "fishspeech"
+
+    def __init__(self, params=None, config=None, seed: int = 0, dtype=None):
+        """params: flax params (e.g. from firefly_architecture_params_from_torch
+        on a fish-speech ckpt). None initializes random weights (API testing).
+        """
+        from dmel_codec_tpu.models.firefly import (
+            FireflyArchitecture,
+            FireflyArchitectureConfig,
+        )
+
+        self.config = config or FireflyArchitectureConfig()
+        self.model = FireflyArchitecture(config=self.config)
+        if params is None:
+            t = self.config.hop_length * self.config.downsample_total * 2
+
+            def _init_all(mdl, audio, lengths):
+                idx, flen = mdl.encode(audio, lengths)
+                return mdl.decode(idx, flen)
+
+            params = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, t), jnp.float32),
+                jnp.full((1,), t, jnp.int32),
+                method=_init_all,
+            )["params"]
+        if dtype is not None:
+            from dmel_codec_tpu.utils.torch_compat import cast_floats
+
+            params = cast_floats(params, dtype)
+        self.params = params
+        self.dtype = dtype
+
+        self._encode = jax.jit(
+            lambda p, audio, lengths: self.model.apply(
+                {"params": p}, audio, lengths, method=FireflyArchitecture.encode
+            )
+        )
+        self._decode = jax.jit(
+            lambda p, idx, lengths: self.model.apply(
+                {"params": p}, idx, lengths, method=FireflyArchitecture.decode
+            )
+        )
+        self._latent = jax.jit(
+            lambda p, audio, lengths: self.model.apply(
+                {"params": p},
+                audio,
+                lengths,
+                method=FireflyArchitecture.encode_unquantized,
+            )[0]
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def _audio_batch(self, audio, audio_lengths):
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        if audio_lengths is None:
+            lengths = np.full((audio.shape[0],), audio.shape[1], np.int32)
+        else:
+            lengths = np.asarray(audio_lengths, np.int32)
+        a = jnp.asarray(audio)
+        if self.dtype is not None:
+            a = a.astype(self.dtype)
+        return a, jnp.asarray(lengths)
+
+    def encode(
+        self, audio: np.ndarray, audio_lengths=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (indices [B, G*R, L], feature lengths [B])."""
+        a, lengths = self._audio_batch(audio, audio_lengths)
+        idx, flen = self._encode(self.params, a, lengths)
+        return np.asarray(idx), np.asarray(flen)
+
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """indices -> (audio [B, T], None) — fish path emits no gen_mel
+        (initial_codec.py:198, gen_mel stays None off the dMel branch)."""
+        indices = jnp.asarray(indices)
+        if lengths is None:
+            lengths = jnp.full((indices.shape[0],), indices.shape[2], jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths)
+        wav, _audio_lengths = self._decode(self.params, indices, lengths)
+        return np.asarray(wav, dtype=np.float32), None
+
+    def rec_audio_from_audio(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        idx, flen = self.encode(audio, audio_lengths)
+        wav, _ = self.decode(idx, flen)
+        return wav
+
+    def get_latent(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        """Unquantized backbone features [B, F, D] (ref :137-146)."""
+        a, lengths = self._audio_batch(audio, audio_lengths)
+        return np.asarray(self._latent(self.params, a, lengths))
+
+
 def _unavailable(name: str, hint: str) -> Callable:
     def ctor(*_args, **_kwargs):
         raise ImportError(
@@ -173,7 +282,7 @@ CODEC_REGISTRY: Dict[str, Callable] = {
         "speechtokenizer", "pip install speechtokenizer + weights"
     ),
     "mimi": _unavailable("mimi", "HF transformers MimiModel weights"),
-    "fishspeech": _unavailable("fishspeech", "fish-speech checkpoint"),
+    "fishspeech": FishSpeechAdapter,
 }
 
 

@@ -98,7 +98,16 @@ def convnext_params_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> dict:
 def quantizer_params_from_torch(
     sd: Dict[str, np.ndarray], prefix: str, config: DMelCodecConfig
 ) -> dict:
-    n_stages = len(config.downsample_factor)
+    return downsample_fsq_params_from_torch(
+        sd, prefix, len(config.downsample_factor), config.dmel_groups
+    )
+
+
+def downsample_fsq_params_from_torch(
+    sd: Dict[str, np.ndarray], prefix: str, n_stages: int, n_groups: int
+) -> dict:
+    """Generic DownsampleFiniteScalarQuantize converter (dMel quantizer and
+    the fish-speech FireflyArchitecture quantizer share this layout)."""
     p: dict = {}
     for idx in range(n_stages):
         p[f"downsample_{idx}_conv"] = {
@@ -125,7 +134,7 @@ def quantizer_params_from_torch(
     in_k, in_b, out_k, out_b = [], [], [], []
     has_proj = f"{prefix}residual_fsq.rvqs.0.project_in.weight" in sd
     if has_proj:
-        for g in range(config.dmel_groups):
+        for g in range(n_groups):
             gp = f"{prefix}residual_fsq.rvqs.{g}."
             in_k.append(tc.dense_kernel(sd[f"{gp}project_in.weight"]))
             in_b.append(sd[f"{gp}project_in.bias"])

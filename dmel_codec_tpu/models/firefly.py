@@ -10,8 +10,12 @@ Capability parity with reference models/modules/firefly.py:26-528:
     ConvNeXt stages, final LN
   * FireflyGAN (:476-528): encoder backbone + generator head with the
     fish-speech checkpoint layout ("generator."-prefixed keys)
+  * FireflyArchitecture: the full fish-speech CODEC (spec transform ->
+    ConvNeXt backbone -> downsample-FSQ -> HiFiGAN head) with the
+    encode/decode surface the reference's evaluation drives
+    (evaluation/initial_codec.py:107-110, :174-186, :213-215, :241-246)
 
-This is the inference-only alternative vocoder path the reference keeps
+This is the inference-only alternative codec path the reference keeps
 for its fish-speech evaluation; channels-last flax like the rest of the
 package.
 """
@@ -209,6 +213,128 @@ class FireflyGAN(nn.Module):
         return HiFiGANGenerator(self.head, name="head")(x)
 
 
+@dataclasses.dataclass(frozen=True)
+class FireflyArchitectureConfig:
+    """fish-speech firefly-gan-vq codec sizes (8 groups x ~1k codes, ~21.5 Hz)."""
+
+    sample_rate: int = 44100
+    n_fft: int = 2048
+    hop_length: int = 512
+    n_mels: int = 160
+    backbone: ConvNeXtEncoderConfig = ConvNeXtEncoderConfig(
+        input_channels=160, depths=(3, 3, 9, 3), dims=(128, 256, 384, 512)
+    )
+    head: HiFiGANConfig = HiFiGANConfig(
+        hop_length=512,
+        upsample_rates=(8, 8, 2, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4, 4),
+        num_mels=512,
+        upsample_initial_channel=512,
+        use_template=False,
+        pre_conv_kernel_size=13,
+        post_conv_kernel_size=13,
+    )
+    fsq_input_dim: int = 512
+    fsq_groups: int = 8
+    fsq_codebooks: int = 1
+    fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
+    fsq_downsample: Tuple[int, ...] = (2, 2)
+
+    @property
+    def downsample_total(self) -> int:
+        return int(np.prod(self.fsq_downsample))
+
+
+class FireflyArchitecture(nn.Module):
+    """The full fish-speech codec: log-mel -> ConvNeXt backbone ->
+    downsample-FSQ tokens -> HiFiGAN waveform head.
+
+    Mask semantics mirror fish-speech's FireflyArchitecture exactly as the
+    reference's evaluation exercises them (initial_codec.py:137-146 encode,
+    :174-186 quantized-latent, :213-215 decode): mels and backbone features
+    are zeroed past mel_lengths, decoded features past feature_lengths*factor,
+    audio past feature_lengths*factor*hop.
+    """
+
+    config: FireflyArchitectureConfig = FireflyArchitectureConfig()
+
+    def setup(self):
+        from dmel_codec_tpu.quantize.downsample_fsq import (
+            DownsampleFiniteScalarQuantize,
+        )
+
+        cfg = self.config
+        self.backbone = ConvNeXtEncoder(cfg.backbone, name="backbone")
+        self.head = HiFiGANGenerator(cfg.head, name="head")
+        self.quantizer = DownsampleFiniteScalarQuantize(
+            input_dim=cfg.fsq_input_dim,
+            n_codebooks=cfg.fsq_codebooks,
+            n_groups=cfg.fsq_groups,
+            levels=cfg.fsq_levels,
+            downsample_factor=cfg.fsq_downsample,
+            is_dmel=False,
+            name="quantizer",
+        )
+
+    def _mel_transform(self):
+        from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
+
+        cfg = self.config
+        return LogMelSpectrogram(
+            sample_rate=cfg.sample_rate,
+            n_fft=cfg.n_fft,
+            win_length=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            n_mels=cfg.n_mels,
+            f_max=None,
+        )
+
+    def _masked_features(
+        self, audios: jnp.ndarray, audio_lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        from dmel_codec_tpu.utils.masks import sequence_mask
+
+        mels = self._mel_transform()(audios)  # [B, F, M]
+        mel_lengths = audio_lengths // self.config.hop_length
+        mel_masks = sequence_mask(mel_lengths, mels.shape[1])[..., None].astype(
+            mels.dtype
+        )
+        feats = self.backbone(mels * mel_masks) * mel_masks
+        return feats, mel_lengths, mel_masks
+
+    def encode_unquantized(
+        self, audios: jnp.ndarray, audio_lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """audios [B, T] -> (backbone features [B, F, D], mel_lengths)."""
+        feats, mel_lengths, _ = self._masked_features(audios, audio_lengths)
+        return feats, mel_lengths
+
+    def encode(
+        self, audios: jnp.ndarray, audio_lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """audios [B, T] -> (indices [B, G*R, L], feature_lengths [B])."""
+        feats, mel_lengths, _ = self._masked_features(audios, audio_lengths)
+        indices = self.quantizer.encode(feats)
+        return indices, mel_lengths // self.config.downsample_total
+
+    def decode(
+        self, indices: jnp.ndarray, feature_lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """indices [B, G*R, L] -> (audios [B, L*factor*hop], audio_lengths)."""
+        from dmel_codec_tpu.utils.masks import sequence_mask
+
+        cfg = self.config
+        factor = cfg.downsample_total
+        t_mel = indices.shape[2] * factor
+        mel_masks = sequence_mask(feature_lengths * factor, t_mel)[..., None]
+        z = self.quantizer.decode(indices)
+        z = z * mel_masks.astype(z.dtype)
+        audio_lengths = feature_lengths * factor * cfg.hop_length
+        audio = self.head(z)
+        audio_masks = sequence_mask(audio_lengths, audio.shape[1]).astype(audio.dtype)
+        return audio * audio_masks, audio_lengths
+
+
 # ---------------------------------------------------------------------------
 # torch state-dict interop (fish-speech ckpt layout)
 # ---------------------------------------------------------------------------
@@ -307,4 +433,24 @@ def firefly_params_from_torch(sd: dict, model: FireflyGAN) -> dict:
     return {
         "backbone": convnext_encoder_params_from_torch(backbone_sd, model.encoder),
         "head": hifigan_params_from_torch(head_sd, model.head),
+    }
+
+
+def firefly_architecture_params_from_torch(
+    sd: dict, config: FireflyArchitectureConfig = FireflyArchitectureConfig()
+) -> dict:
+    """Full fish-speech codec ckpt ("generator."-stripped keys per the
+    reference loader, initial_codec.py:314-319) -> FireflyArchitecture params."""
+    from dmel_codec_tpu.models.codec_convert import downsample_fsq_params_from_torch
+
+    backbone_sd = {
+        k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    head_sd = {k[len("head.") :]: v for k, v in sd.items() if k.startswith("head.")}
+    return {
+        "backbone": convnext_encoder_params_from_torch(backbone_sd, config.backbone),
+        "head": hifigan_params_from_torch(head_sd, config.head),
+        "quantizer": downsample_fsq_params_from_torch(
+            sd, "quantizer.", len(config.fsq_downsample), config.fsq_groups
+        ),
     }

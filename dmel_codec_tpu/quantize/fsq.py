@@ -10,9 +10,16 @@ re-derived from the FSQ paper construction:
   * indices are the mixed-radix packing of the rounded code against
     basis = cumprod([1, levels[:-1]])
   * ResidualFSQ projects dim -> len(levels) in, quantizes num_quantizers
-    residual rounds (round i scaled by (levels-1)^-i), projects back out
+    residual rounds (round i scaled by (levels-1)^-i), projects back out.
+    The residual loop starts from bound(project_in(x)) — NOT raw x — exactly
+    as the library's residual_fsq.py does (`residual =
+    first(self.layers).bound(x)`), so layer 0 effectively double-bounds.
+    This quirk must be preserved for token interchangeability.
   * GroupedResidualFSQ splits the feature dim into independent groups
     (vmapped here — one compiled body for all groups)
+
+The exact library semantics are locked down by a plain-numpy line-by-line
+re-derivation used as the test oracle (tests/test_fsq_golden.py).
 
 Everything is static-shaped and jit-friendly; the rounding runs on the VPU,
 the projections on the MXU.
@@ -104,10 +111,15 @@ class ResidualFSQ(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x [B, T, dim] -> (quantized [B, T, dim], indices [B, T, Q])."""
+        orig_dtype = x.dtype
         if self.requires_projection:
             x = self.project_in(x)
+        # Library semantics (residual_fsq.py forward): the residual chain
+        # starts from the FIRST layer's bound of the projected input, and the
+        # whole loop runs in f32 (autocast disabled / force_quantization_f32).
+        x = x.astype(jnp.float32)
         quantized_out = jnp.zeros_like(x)
-        residual = x
+        residual = self.fsq.bound(x)
         all_indices = []
         for i in range(self.num_quantizers):
             scale = jnp.asarray(self.scales[i])
@@ -116,6 +128,7 @@ class ResidualFSQ(nn.Module):
             residual = residual - jax.lax.stop_gradient(codes)
             quantized_out = quantized_out + codes
             all_indices.append(indices)
+        quantized_out = quantized_out.astype(orig_dtype)
         if self.requires_projection:
             quantized_out = self.project_out(quantized_out)
         return quantized_out, jnp.stack(all_indices, axis=-1)

@@ -8,8 +8,13 @@ DataLoader workers (dataset/lhotse_tts_dataset.py:68-218):
     samples) so XLA sees a small set of static shapes instead of lhotse's
     fully-ragged batches (SURVEY section 7 "Ragged batches vs XLA")
   * per-host sharding by jax.process_index (replacing sampler world_size)
-  * a background thread decodes/resamples WAVs ahead of the training loop
-    (replacing num_workers=40 DataLoader workers)
+  * `num_workers` decode threads materialize batches concurrently ahead of
+    the training loop (replacing the reference's num_workers=30-40
+    DataLoader processes, lhotse_tts_dataset.py). Threads (not processes)
+    are the right tool here: the decode path is scipy C code
+    (wavfile mmap read + resample_poly's upfirdn) that releases the GIL,
+    so workers scale without forking a JAX-initialized parent; measured
+    scaling is in BENCHMARKS.md ("Input pipeline").
 
 Batch dict matches the trainer contract: {'audios' [B, L] float32,
 'audio_lengths' [B] int32, 'texts': list[str]}.
@@ -17,8 +22,11 @@ Batch dict matches the trainer contract: {'audios' [B, L] float32,
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -87,13 +95,18 @@ class DataLoader:
         prefetch: int = 2,
         max_batch_size: Optional[int] = None,
         batch_multiple: int = 1,
+        num_workers: int = 8,
     ):
         """batch_multiple: pad each batch with silent zero-length items so
         the batch size divides the data-parallel mesh (masked losses make
-        the fillers contribute nothing)."""
+        the fillers contribute nothing).
+
+        num_workers: decode threads materializing batches concurrently
+        (1 = the original single background thread)."""
         self.sample_rate = sample_rate
         self.length_quantum = length_quantum
         self.batch_multiple = batch_multiple
+        self.num_workers = num_workers
         self.batcher = BucketBatcher(
             cuts,
             max_duration=max_duration,
@@ -136,6 +149,26 @@ class DataLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         batches = self.batcher.batches(epoch)
+        if self.num_workers <= 1:
+            yield from self._epoch_single_thread(batches)
+            return
+        # N decode threads, in-order delivery, bounded look-ahead so memory
+        # stays at O(prefetch + num_workers) batches
+        window = self.prefetch + self.num_workers
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            it = iter(batches)
+            pending: "deque" = deque(
+                ex.submit(self._materialize, b)
+                for b in itertools.islice(it, window)
+            )
+            while pending:
+                fut = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(ex.submit(self._materialize, nxt))
+                yield fut.result()
+
+    def _epoch_single_thread(self, batches: List[List[Cut]]) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 

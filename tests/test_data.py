@@ -123,3 +123,16 @@ def test_preprocess_windows_filters_stats(wav_dir, tmp_path):
     stats = prepare_manifests(cuts, out, window_seconds=0.6, min_duration=0.3)
     assert stats["num_cuts"] == len(load_manifest(out))
     assert stats["total_hours"] > 0
+
+
+def test_loader_multiworker_matches_single(wav_dir):
+    """num_workers>1 must deliver identical batches in identical order."""
+    cuts = cuts_from_dir(str(wav_dir))
+    kw = dict(max_duration=4.0, shuffle=False, length_quantum=1024)
+    single = list(DataLoader(cuts, num_workers=1, **kw))
+    multi = list(DataLoader(cuts, num_workers=4, **kw))
+    assert len(single) == len(multi)
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a["audios"], b["audios"])
+        np.testing.assert_array_equal(a["audio_lengths"], b["audio_lengths"])
+        assert a["texts"] == b["texts"]

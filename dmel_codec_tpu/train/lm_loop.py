@@ -49,7 +49,7 @@ class LMFitLoop:
             log.info(f"resumed from checkpoint step {int(state.step)}")
 
         step_fn = self.trainer.jit_train_step(mesh)
-        loss_fn = jax.jit(self.trainer.loss_fn)
+        eval_fn = jax.jit(self.trainer.eval_metrics)
 
         step = int(state.step)
         epoch = 0
@@ -64,17 +64,25 @@ class LMFitLoop:
                     writer.scalars(step, {k: float(v) for k, v in metrics.items()})
                 if step % cfg.val_interval == 0:
                     if self.val_batches is not None:
-                        losses = []
+                        # losses + top-k accuracies, reference val parity
+                        # (lm_lit_modules.py:305-326)
+                        sums: dict = {}
+                        count = 0
                         for i, vb in enumerate(self.val_batches()):
                             if i >= cfg.max_val_batches:
                                 break
-                            loss, _ = loss_fn(state.params, self._device_batch(vb))
-                            losses.append(float(loss))
-                        if losses:
-                            writer.scalars(
-                                step, {"val/audio_loss": float(np.mean(losses))}
+                            m = eval_fn(state.params, self._device_batch(vb))
+                            for k, v in m.items():
+                                sums[k] = sums.get(k, 0.0) + float(v)
+                            count += 1
+                        if count:
+                            means = {k: v / count for k, v in sums.items()}
+                            writer.scalars(step, means)
+                            log.info(
+                                f"step {step}: val loss "
+                                f"{means['val/audio_loss']:.4f} top1 "
+                                f"{means.get('val/audio_top1_acc', 0.0):.3f}"
                             )
-                            log.info(f"step {step}: val loss {np.mean(losses):.4f}")
                     ckpt.save(step, state)  # checkpoint cadence == val cadence
                 if step >= cfg.max_steps:
                     break

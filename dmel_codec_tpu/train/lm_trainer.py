@@ -33,7 +33,8 @@ class LMTrainConfig:
     num_training_steps: int = 60_000
     final_lr_ratio: float = 0.2
     accumulate_grad: int = 60
-    topk: Tuple[int, ...] = (1, 5, 10)
+    # reference accuracy set (lm_lit_modules.py:305: topk_acces = [1, 2, 5, 10, 20, 50])
+    topk: Tuple[int, ...] = (1, 2, 5, 10, 20, 50)
     # >0 wraps the optimizer in optax.apply_if_finite: non-finite updates
     # are dropped (up to N consecutive) — the jit-able analogue of the
     # reference's exception-swallowing train step (lm_lit_modules.py:361-365)
@@ -170,6 +171,36 @@ class LMTrainer:
         )
         return out["loss"], out
 
+    def _depth_labels(self, batch):
+        cfg = self.lm_config
+        b, s = batch["text_labels"].shape
+        c = cfg.audio_codebook_count
+        return jnp.concatenate(
+            [
+                batch["text_labels"][:, 1:].reshape(b * (s - 1), 1),
+                batch["audio_labels"][:, 1:, :].reshape(b * (s - 1), c),
+            ],
+            axis=1,
+        )
+
+    def eval_metrics(self, params, batch) -> Dict[str, jnp.ndarray]:
+        """Validation metrics: losses + the reference's top-k accuracy set
+        (lm_lit_modules.py:305-326 logs accuracies at val too)."""
+        loss, out = self.loss_fn(params, batch)
+        acc = topk_accuracy(
+            out["audio_logits"],
+            self._depth_labels(batch),
+            self.config.topk,
+            ignore_ids=(IGNORE_INDEX, self.lm_config.slow_audio_pad_id),
+        )
+        metrics = {
+            "val/loss": loss,
+            "val/text_loss": out["text_loss"],
+            "val/audio_loss": out["audio_loss"],
+        }
+        metrics |= {f"val/audio_top{k}_acc": v for k, v in acc.items()}
+        return metrics
+
     def train_step(
         self, state: LMTrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[LMTrainState, Dict[str, jnp.ndarray]]:
@@ -181,18 +212,9 @@ class LMTrainer:
         params = optax.apply_updates(state.params, updates)
 
         cfg = self.lm_config
-        b, s = batch["text_labels"].shape
-        c = cfg.audio_codebook_count
-        depth_labels = jnp.concatenate(
-            [
-                batch["text_labels"][:, 1:].reshape(b * (s - 1), 1),
-                batch["audio_labels"][:, 1:, :].reshape(b * (s - 1), c),
-            ],
-            axis=1,
-        )
         acc = topk_accuracy(
             out["audio_logits"],
-            depth_labels,
+            self._depth_labels(batch),
             self.config.topk,
             ignore_ids=(IGNORE_INDEX, cfg.slow_audio_pad_id),
         )

@@ -31,6 +31,12 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=64)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument(
+        "--cache-dtype",
+        default=None,
+        help="KV cache dtype (default: bfloat16 with --bf16 else float32)",
+    )
     args = parser.parse_args()
 
     cfg = SlowFastLMConfig()
@@ -38,6 +44,7 @@ def main() -> None:
     params = trainer.init_state(jax.random.PRNGKey(0)).params
     if args.bf16:
         params = cast_floats(params, jnp.bfloat16)
+    cache_dtype = args.cache_dtype or ("bfloat16" if args.bf16 else "float32")
 
     builder = TokenGridBuilder(config=cfg)
     text_t, audio_t = builder.build_infer_grid(
@@ -46,21 +53,33 @@ def main() -> None:
     gen = SlowFastGenerator(
         ChatMusicLM(config=cfg),
         params,
-        InferenceConfig(max_new_tokens=args.frames, max_seq_len=1024),
+        InferenceConfig(
+            max_new_tokens=args.frames, max_seq_len=1024, cache_dtype=cache_dtype
+        ),
     )
 
-    t0 = time.perf_counter()
-    audio_ids, _ = gen.generate(text_t, audio_t, jax.random.PRNGKey(1))
-    compile_and_run = time.perf_counter() - t0
-    print(f"first run (incl. compile): {compile_and_run:.1f}s, frames={len(audio_ids)}")
+    b = args.batch
+    if b == 1:
+        run = lambda key: len(gen.generate(text_t, audio_t, key)[0])
+    else:
+        batch_text = np.stack([text_t] * b)
+        batch_audio = np.stack([audio_t] * b)
+        run = lambda key: sum(
+            len(a) for a in gen.generate_batched(batch_text, batch_audio, key)[0]
+        )
 
     t0 = time.perf_counter()
-    audio_ids, _ = gen.generate(text_t, audio_t, jax.random.PRNGKey(2))
+    n = run(jax.random.PRNGKey(1))
+    compile_and_run = time.perf_counter() - t0
+    print(f"first run (incl. compile): {compile_and_run:.1f}s, frames={n}")
+
+    t0 = time.perf_counter()
+    n = run(jax.random.PRNGKey(2))
     dt = time.perf_counter() - t0
-    fps = len(audio_ids) / dt
+    fps = n / dt
     print(
-        f"frames: {len(audio_ids)}  frames/s: {fps:.1f}  "
-        f"tokens/s (x11): {fps * 11:.0f}  "
+        f"batch: {b}  cache: {cache_dtype}  frames (aggregate): {n}  "
+        f"frames/s: {fps:.1f}  tokens/s (x11): {fps * 11:.0f}  "
         f"realtime_factor_vs_23.4Hz: {fps / 23.4375:.2f}"
     )
 

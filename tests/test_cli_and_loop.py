@@ -293,3 +293,29 @@ def test_train_lm_and_infer_lm_cli_end_to_end(tmp_path, tiny_dataset):
             str(tmp_path / "out.wav"),
         ]
     )
+
+    # audio-prompt and mixed text+audio prompt grids through the same CLI
+    # (reference lm_process_input.py:149-259 / VERDICT r1 Next #8)
+    wav_prompt = str(tmp_path / "wavs" / "u0.wav")
+    infer_main(
+        [
+            "--config",
+            str(tmp_path / "infer.yaml"),
+            "--prompt-audio",
+            wav_prompt,
+            "--out",
+            str(tmp_path / "out_audio_prompt.wav"),
+        ]
+    )
+    infer_main(
+        [
+            "--config",
+            str(tmp_path / "infer.yaml"),
+            "--prompt",
+            "hi",
+            "--prompt-audio",
+            wav_prompt,
+            "--out",
+            str(tmp_path / "out_mixed_prompt.wav"),
+        ]
+    )

@@ -220,3 +220,54 @@ def test_on_device_generation_matches_stepwise_greedy(rng):
     a2, t2 = gen2.generate_stepwise(text_t, audio_t, jax.random.PRNGKey(2))
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_batched_generation_matches_single_greedy(rng):
+    """generate_batched with B=3 copies of one prompt under top_k=1 must
+    reproduce the single-sample on-device path row-for-row (and a bf16 KV
+    cache must not change greedy tokens at these scales)."""
+    model = ChatMusicLM(config=TINY_LM)
+    trainer = LMTrainer(TINY_LM, LMTrainConfig())
+    params = trainer.init_state(jax.random.PRNGKey(3)).params
+    builder = TokenGridBuilder(config=TINY_LM)
+    text_t, audio_t = builder.build_infer_grid(text_ids=np.array([5, 6, 7]))
+
+    icfg = InferenceConfig(max_new_tokens=5, max_seq_len=64, top_k=1)
+    gen = SlowFastGenerator(model, params, icfg)
+    a1, t1 = gen.generate(text_t, audio_t, jax.random.PRNGKey(1))
+
+    b = 3
+    batch_text = np.stack([text_t] * b)
+    batch_audio = np.stack([audio_t] * b)
+    audio_list, text_list = gen.generate_batched(
+        batch_text, batch_audio, jax.random.PRNGKey(7)
+    )
+    assert len(audio_list) == b
+    for arow, trow in zip(audio_list, text_list):
+        np.testing.assert_array_equal(arow, a1)
+        np.testing.assert_array_equal(trow, t1)
+
+    icfg16 = InferenceConfig(
+        max_new_tokens=5, max_seq_len=64, top_k=1, cache_dtype="bfloat16"
+    )
+    gen16 = SlowFastGenerator(model, params, icfg16)
+    a3, t3 = gen16.generate(text_t, audio_t, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(a3, a1)
+    np.testing.assert_array_equal(t3, t1)
+
+
+def test_eval_metrics_include_reference_topk_set(rng):
+    """val metrics must cover the reference accuracy set {1,2,5,10,20,50}
+    (lm_lit_modules.py:305) plus losses."""
+    trainer = LMTrainer(TINY_LM, LMTrainConfig(accumulate_grad=1))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    builder = TokenGridBuilder(config=TINY_LM)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng, builder).items()}
+    m = trainer.eval_metrics(state.params, batch)
+    for k in (1, 2, 5, 10, 20, 50):
+        key = f"val/audio_top{k}_acc"
+        assert key in m and np.isfinite(float(m[key])) and 0 <= float(m[key]) <= 1
+    # larger k can only help
+    assert float(m["val/audio_top50_acc"]) >= float(m["val/audio_top1_acc"])
+    for key in ("val/loss", "val/text_loss", "val/audio_loss"):
+        assert np.isfinite(float(m[key]))

@@ -3,10 +3,12 @@
 Parity with reference evaluation/initial_codec.py:7-325: one facade with
 encode / decode / rec_audio_from_audio / latent extraction per codec.
 'dmel' and 'fishspeech' are native stacks in this framework (DMelCodec and
-FireflyArchitecture); the remaining external codecs (DAC, SpeechTokenizer,
-Mimi) require packages/weights that do not ship here — their constructors
-raise with install hints, keeping the registry shape identical for
-downstream harness code.
+FireflyArchitecture); 'dac' and 'mimi' wrap HF transformers' DacModel /
+MimiModel on host CPU (the reference's own Mimi backend,
+initial_codec.py:46-52; DacModel carries the same descript weights as the
+`dac` package the reference imports). 'speechtokenizer' needs a package
+that does not ship here — its constructor raises with an install hint,
+keeping the registry shape identical for downstream harness code.
 """
 
 from __future__ import annotations
@@ -265,6 +267,202 @@ class FishSpeechAdapter:
         return np.asarray(self._latent(self.params, a, lengths))
 
 
+class DacCodecAdapter:
+    """numpy-in/numpy-out facade over a Descript-audio-codec model.
+
+    The reference wraps the `dac` package (initial_codec.py:33-36); that
+    package does not ship here, but HF transformers' `DacModel` is the same
+    architecture/weights (descript/dac_Nkhz on the hub), so this adapter
+    gives the identical surface: encode (:104-105 `codec.encode -> codes`),
+    rec from indices via `quantizer.from_codes` + decode (:204-206),
+    rec_audio_from_audio via forward (:234-235), unquantized latent via
+    `codec.encoder` (:126-127). Runs torch on host CPU — these zoo codecs
+    exist for metric comparison, not the TPU serving path.
+    """
+
+    name = "dac"
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        config=None,
+        num_quantizers: Optional[int] = None,
+        device: str = "cpu",
+    ):
+        """model_path: local HF checkpoint dir (zero-egress: no hub pulls).
+        config: a transformers.DacConfig for random-init (API tests)."""
+        try:
+            import torch
+            from transformers import DacConfig, DacModel
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("codec 'dac' needs transformers+torch") from e
+        self._torch = torch
+        if model_path is not None:
+            self.model = DacModel.from_pretrained(model_path)
+        else:
+            self.model = DacModel(config or DacConfig())
+        self.model.to(device).eval()
+        self.config = self.model.config
+        self.num_quantizers = num_quantizers
+        self.device = device
+        self.hop_length = int(np.prod(self.config.downsampling_ratios))
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.config.sampling_rate)
+
+    def _batch(self, audio: np.ndarray):
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        return self._torch.from_numpy(audio[:, None, :]).to(self.device)
+
+    def _code_lengths(self, audio_lengths, batch: int, frames: int) -> np.ndarray:
+        if audio_lengths is None:
+            return np.full((batch,), frames, np.int32)
+        n = np.ceil(np.asarray(audio_lengths) / self.hop_length).astype(np.int32)
+        return np.minimum(n, frames)
+
+    def encode(self, audio: np.ndarray, audio_lengths=None) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (codes [B, Q, L], code lengths [B])."""
+        with self._torch.inference_mode():
+            out = self.model.encode(self._batch(audio), n_quantizers=self.num_quantizers)
+        codes = out.audio_codes.cpu().numpy()
+        return codes, self._code_lengths(audio_lengths, codes.shape[0], codes.shape[2])
+
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, None]:
+        """codes [B, Q, L] -> (audio [B, T], None) — ref :204-206."""
+        del lengths  # DAC decodes full code grids; caller trims by length
+        with self._torch.inference_mode():
+            codes = self._torch.from_numpy(np.asarray(indices)).long().to(self.device)
+            quantized, _, _ = self.model.quantizer.from_codes(codes)
+            wav = self.model.decode(quantized).audio_values
+        return wav.squeeze(1).cpu().numpy(), None
+
+    def rec_audio_from_audio(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        del audio_lengths
+        with self._torch.inference_mode():
+            out = self.model(self._batch(audio), n_quantizers=self.num_quantizers)
+        return out.audio_values.squeeze(1).cpu().numpy()
+
+    def get_latent(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        """Unquantized encoder features [B, D, L] (ref :126-127)."""
+        del audio_lengths
+        with self._torch.inference_mode():
+            z = self.model.encoder(self._batch(audio))
+        return z.cpu().numpy()
+
+
+class MimiCodecAdapter:
+    """numpy-in/numpy-out facade over Kyutai's Mimi codec.
+
+    Same backend as the reference (HF transformers `MimiModel`,
+    initial_codec.py:46-52): encode frames (:107-108), decode with an
+    audio-length padding mask (:210-212, mask built :283-296), full
+    round-trip via forward (:238-240), unquantized latent via
+    encoder -> encoder_transformer -> downsample (:129-135). Torch on host
+    CPU — zoo codec for metric comparison, not the TPU serving path.
+    """
+
+    name = "mimi"
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        config=None,
+        num_quantizers: Optional[int] = None,
+        device: str = "cpu",
+    ):
+        try:
+            import torch
+            from transformers import MimiConfig, MimiModel
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("codec 'mimi' needs transformers+torch") from e
+        self._torch = torch
+        if model_path is not None:
+            self.model = MimiModel.from_pretrained(model_path)
+        else:
+            self.model = MimiModel(config or MimiConfig())
+        self.model.to(device).eval()
+        self.config = self.model.config
+        self.num_quantizers = num_quantizers
+        self.device = device
+        # samples per codec frame (frame_rate tokens/s at sampling_rate)
+        self.hop_length = int(round(self.config.sampling_rate / self.config.frame_rate))
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.config.sampling_rate)
+
+    def _batch(self, audio: np.ndarray):
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        return self._torch.from_numpy(audio[:, None, :]).to(self.device)
+
+    def _padding_mask(self, audio_lengths, batch: int, samples: int):
+        """[B, 1, T] bool validity mask — ref get_padding_mask_for_mimi."""
+        if audio_lengths is None:
+            return self._torch.ones(
+                (batch, 1, samples), dtype=self._torch.bool, device=self.device
+            )
+        mask = np.arange(samples)[None, :] < np.asarray(audio_lengths)[:, None]
+        return self._torch.from_numpy(mask[:, None, :]).to(self.device)
+
+    def encode(self, audio: np.ndarray, audio_lengths=None) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (codes [B, Q, L], code lengths [B])."""
+        a = self._batch(audio)
+        with self._torch.inference_mode():
+            out = self.model.encode(
+                a,
+                padding_mask=self._padding_mask(audio_lengths, a.shape[0], a.shape[2]),
+                num_quantizers=self.num_quantizers,
+            )
+        codes = out.audio_codes.cpu().numpy()
+        if audio_lengths is None:
+            lens = np.full((codes.shape[0],), codes.shape[2], np.int32)
+        else:
+            lens = np.minimum(
+                np.ceil(np.asarray(audio_lengths) / self.hop_length).astype(np.int32),
+                codes.shape[2],
+            )
+        return codes, lens
+
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, None]:
+        """codes [B, Q, L] -> (audio [B, T], None) — ref :210-212."""
+        codes = self._torch.from_numpy(np.asarray(indices)).long().to(self.device)
+        mask = None
+        if lengths is not None:
+            mask = self._padding_mask(
+                np.asarray(lengths) * self.hop_length,
+                codes.shape[0],
+                codes.shape[2] * self.hop_length,
+            )
+        with self._torch.inference_mode():
+            wav = self.model.decode(codes, padding_mask=mask).audio_values
+        return wav.squeeze(1).cpu().numpy(), None
+
+    def rec_audio_from_audio(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        a = self._batch(audio)
+        with self._torch.inference_mode():
+            out = self.model(
+                a,
+                padding_mask=self._padding_mask(audio_lengths, a.shape[0], a.shape[2]),
+                num_quantizers=self.num_quantizers,
+            )
+        return out.audio_values.squeeze(1).cpu().numpy()
+
+    def get_latent(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        """Unquantized downsampled transformer features [B, D, L]
+        (ref :129-135: encoder -> encoder_transformer -> downsample)."""
+        del audio_lengths
+        with self._torch.inference_mode():
+            emb = self.model.encoder(self._batch(audio))
+            h = self.model.encoder_transformer(emb.transpose(1, 2))[0].transpose(1, 2)
+            z = self.model.downsample(h)
+        return z.cpu().numpy()
+
+
 def _unavailable(name: str, hint: str) -> Callable:
     def ctor(*_args, **_kwargs):
         raise ImportError(
@@ -277,11 +475,11 @@ def _unavailable(name: str, hint: str) -> Callable:
 
 CODEC_REGISTRY: Dict[str, Callable] = {
     "dmel": DMelCodecAdapter,
-    "dac": _unavailable("dac", "pip install descript-audio-codec + weights"),
+    "dac": DacCodecAdapter,
     "speechtokenizer": _unavailable(
         "speechtokenizer", "pip install speechtokenizer + weights"
     ),
-    "mimi": _unavailable("mimi", "HF transformers MimiModel weights"),
+    "mimi": MimiCodecAdapter,
     "fishspeech": FishSpeechAdapter,
 }
 

@@ -87,10 +87,79 @@ def test_codebook_entropy():
 
 
 def test_registry_gates_external_codecs():
-    with pytest.raises(ImportError, match="dac"):
-        make_codec("dac")
+    with pytest.raises(ImportError, match="speechtokenizer"):
+        make_codec("speechtokenizer")
     with pytest.raises(KeyError):
         make_codec("nope")
+
+
+def test_dac_adapter_roundtrip(rng):
+    """Real DAC adapter on a tiny random-init transformers DacModel:
+    the full reference surface (initial_codec.py:104-105,126-127,204-206,
+    234-235) must round-trip with consistent shapes."""
+    from transformers import DacConfig
+
+    cfg = DacConfig(
+        encoder_hidden_size=8,
+        downsampling_ratios=[2, 4],
+        decoder_hidden_size=8,
+        n_codebooks=3,
+        codebook_size=32,
+        codebook_dim=4,
+        sampling_rate=16000,
+    )
+    codec = make_codec("dac", config=cfg, num_quantizers=2)
+    hop = 8  # prod(ratios)
+    t = hop * 20
+    x = np.stack(
+        [rng.standard_normal(t), rng.standard_normal(t) * 0.5]
+    ).astype(np.float32) * 0.3
+    idx, lens = codec.encode(x, np.array([t, t // 2]))
+    assert idx.shape[:2] == (2, 2)  # n_quantizers cap honored
+    assert int(lens[1]) == (t // 2 + hop - 1) // hop
+    wav, _ = codec.decode(idx)
+    assert wav.shape[0] == 2 and wav.shape[1] >= t - hop
+    rec = codec.rec_audio_from_audio(x)
+    assert rec.shape[0] == 2
+    z = codec.get_latent(x)
+    assert z.shape[0] == 2 and z.shape[2] == t // hop
+
+
+def test_mimi_adapter_roundtrip(rng):
+    """Real Mimi adapter on a tiny random-init transformers MimiModel
+    (the reference's own backend, initial_codec.py:46-52)."""
+    from transformers import MimiConfig
+
+    cfg = MimiConfig(
+        hidden_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        intermediate_size=32,
+        num_filters=4,
+        num_residual_layers=1,
+        upsampling_ratios=[4, 2],
+        codebook_size=32,
+        codebook_dim=8,
+        vector_quantization_hidden_dimension=8,
+        num_quantizers=4,
+        num_semantic_quantizers=1,
+        sliding_window=4,
+        upsample_groups=16,
+    )
+    codec = make_codec("mimi", config=cfg, num_quantizers=3)
+    hop = codec.hop_length
+    t = hop * 6
+    x = (rng.standard_normal((2, t)) * 0.3).astype(np.float32)
+    idx, lens = codec.encode(x, np.array([t, t // 2]))
+    assert idx.shape[0] == 2 and idx.shape[1] == 3
+    assert int(lens[0]) == idx.shape[2]
+    wav, _ = codec.decode(idx, lens)
+    assert wav.shape[0] == 2 and wav.shape[1] == idx.shape[2] * hop
+    rec = codec.rec_audio_from_audio(x, np.array([t, t]))
+    assert rec.shape == x.shape
+    z = codec.get_latent(x)
+    assert z.shape[0] == 2
 
 
 @pytest.fixture(scope="module")

@@ -2,13 +2,14 @@
 
 Parity with reference evaluation/initial_codec.py:7-325: one facade with
 encode / decode / rec_audio_from_audio / latent extraction per codec.
-'dmel' and 'fishspeech' are native stacks in this framework (DMelCodec and
-FireflyArchitecture); 'dac' and 'mimi' wrap HF transformers' DacModel /
-MimiModel on host CPU (the reference's own Mimi backend,
-initial_codec.py:46-52; DacModel carries the same descript weights as the
-`dac` package the reference imports). 'speechtokenizer' needs a package
-that does not ship here — its constructor raises with an install hint,
-keeping the registry shape identical for downstream harness code.
+'dmel', 'fishspeech', 'speechtokenizer' and 'encodec' are native JAX
+stacks in this framework (DMelCodec, FireflyArchitecture, and the
+SEANet+RVQ family in models/seanet.py); 'dac' and 'mimi' wrap HF
+transformers' DacModel / MimiModel on host CPU (the reference's own Mimi
+backend, initial_codec.py:46-52; DacModel carries the same descript
+weights as the `dac` package the reference imports). 'encodec' is listed
+in the reference's zoo docstring (initial_codec.py:6) but implemented only
+here.
 """
 
 from __future__ import annotations
@@ -463,24 +464,149 @@ class MimiCodecAdapter:
         return z.cpu().numpy()
 
 
-def _unavailable(name: str, hint: str) -> Callable:
-    def ctor(*_args, **_kwargs):
-        raise ImportError(
-            f"codec '{name}' needs external packages/weights not present in "
-            f"this environment: {hint}"
+class SpeechTokenizerAdapter:
+    """numpy-in/numpy-out facade over the NATIVE JAX SpeechTokenizer
+    (models/seanet.py — SEANet encoder/decoder + 8-layer RVQ, golden-tested
+    against HF EncodecModel, the same architecture lineage).
+
+    Mirrors the reference's speechtokenizer paths: encode (initial_codec.py
+    :101-103 — the reference warns the package returns codebook-first
+    [Q, B, L]; this adapter standardizes to [B, Q, L] like the others),
+    decode (:204-205), encoder latent (:124), forward_feature sum
+    (:161-166). Original-package checkpoints load via
+    `load_speechtokenizer(config.json, SpeechTokenizer.pt)`.
+    """
+
+    name = "speechtokenizer"
+
+    def __init__(
+        self,
+        params=None,
+        config=None,
+        config_json: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
+        num_quantizers: Optional[int] = None,
+        seed: int = 0,
+    ):
+        from dmel_codec_tpu.models.seanet import (
+            SEANetConfig,
+            SpeechTokenizer,
+            load_speechtokenizer,
         )
 
-    return ctor
+        if config_json is not None:
+            self.model, loaded, self.config = load_speechtokenizer(
+                config_json, ckpt_path
+            )
+            params = params if params is not None else loaded
+        else:
+            self.config = config or SEANetConfig()
+            self.model = SpeechTokenizer(config=self.config)
+        if params is None:
+            t = self.config.hop_length * 4
+            params = self.model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, t), jnp.float32)
+            )["params"]
+        self.params = params
+        self.num_quantizers = num_quantizers
+
+        self._encode = jax.jit(
+            lambda p, a: self.model.apply(
+                {"params": p}, a, num_quantizers, method=SpeechTokenizer.encode
+            )
+        )
+        self._decode = jax.jit(
+            lambda p, c: self.model.apply(
+                {"params": p}, c, method=SpeechTokenizer.decode
+            )
+        )
+        self._latent = jax.jit(
+            lambda p, a: self.model.apply(
+                {"params": p}, a, method=SpeechTokenizer.encode_unquantized
+            )
+        )
+        self._quantized = jax.jit(
+            lambda p, a: self.model.apply(
+                {"params": p},
+                a,
+                num_quantizers,
+                method=SpeechTokenizer.forward_feature,
+            ).sum(0)
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def _batch(self, audio, audio_lengths):
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        hop = self.config.hop_length
+        if audio_lengths is None:
+            lens = np.full((audio.shape[0],), audio.shape[1], np.int64)
+        else:
+            lens = np.asarray(audio_lengths)
+        frames = -(-lens // hop)  # ceil
+        return jnp.asarray(audio), frames.astype(np.int32)
+
+    def encode(
+        self, audio: np.ndarray, audio_lengths=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (codes [B, Q, L], code lengths [B])."""
+        a, frames = self._batch(audio, audio_lengths)
+        codes = np.asarray(self._encode(self.params, a))  # [Q, B, L]
+        codes = codes.transpose(1, 0, 2)
+        return codes, np.minimum(frames, codes.shape[2])
+
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, None]:
+        del lengths
+        codes = jnp.asarray(np.asarray(indices).transpose(1, 0, 2))
+        wav = self._decode(self.params, codes)
+        return np.asarray(wav, np.float32), None
+
+    def rec_audio_from_audio(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        idx, lens = self.encode(audio, audio_lengths)
+        wav, _ = self.decode(idx, lens)
+        return wav
+
+    def get_latent(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        """Unquantized encoder features [B, L, D] (ref :124)."""
+        a, _ = self._batch(audio, audio_lengths)
+        return np.asarray(self._latent(self.params, a))
+
+    def get_latent_quantized(self, audio: np.ndarray, audio_lengths=None) -> np.ndarray:
+        """Summed per-layer quantized features (ref :161-166)."""
+        a, _ = self._batch(audio, audio_lengths)
+        return np.asarray(self._quantized(self.params, a))
+
+
+class EncodecAdapter(SpeechTokenizerAdapter):
+    """EnCodec flavour of the same native family (the reference's zoo
+    docstring lists Encodec, initial_codec.py:6, but never implements it —
+    this framework does): causal convs, unidirectional LSTM, no semantic
+    head. Defaults to the 24 kHz shape."""
+
+    name = "encodec"
+
+    def __init__(self, params=None, config=None, num_quantizers=None, seed: int = 0):
+        from dmel_codec_tpu.models.seanet import SEANetConfig
+
+        super().__init__(
+            params=params,
+            config=config or SEANetConfig.encodec_24k(),
+            num_quantizers=num_quantizers,
+            seed=seed,
+        )
 
 
 CODEC_REGISTRY: Dict[str, Callable] = {
     "dmel": DMelCodecAdapter,
     "dac": DacCodecAdapter,
-    "speechtokenizer": _unavailable(
-        "speechtokenizer", "pip install speechtokenizer + weights"
-    ),
+    "speechtokenizer": SpeechTokenizerAdapter,
     "mimi": MimiCodecAdapter,
     "fishspeech": FishSpeechAdapter,
+    "encodec": EncodecAdapter,
 }
 
 

@@ -86,11 +86,64 @@ def test_codebook_entropy():
     )  # 1e-10 clamp leaves ~6e-8 bits (reference clamps identically)
 
 
-def test_registry_gates_external_codecs():
-    with pytest.raises(ImportError, match="speechtokenizer"):
-        make_codec("speechtokenizer")
+def test_registry_complete():
+    """Every codec in the reference's zoo (initial_codec.py:6) constructs
+    for real — none are gated stubs anymore."""
+    from dmel_codec_tpu.eval.codecs import CODEC_REGISTRY
+
+    assert set(CODEC_REGISTRY) == {
+        "dmel", "dac", "speechtokenizer", "mimi", "fishspeech", "encodec",
+    }
     with pytest.raises(KeyError):
         make_codec("nope")
+
+
+def test_speechtokenizer_adapter_roundtrip(rng):
+    """Native JAX SpeechTokenizer adapter: uniform surface round-trip on a
+    tiny config (random weights; architecture golden-tested vs HF Encodec
+    in test_seanet.py)."""
+    from dmel_codec_tpu.models.seanet import SEANetConfig
+
+    cfg = SEANetConfig(
+        n_filters=4,
+        dimension=16,
+        ratios=(4, 2),
+        lstm_layers=1,
+        n_q=4,
+        codebook_size=32,
+        semantic_dimension=8,
+    )
+    codec = make_codec("speechtokenizer", config=cfg, num_quantizers=3)
+    hop = cfg.hop_length
+    t = hop * 10
+    x = (rng.standard_normal((2, t)) * 0.3).astype(np.float32)
+    idx, lens = codec.encode(x, np.array([t, t // 2]))
+    assert idx.shape == (2, 3, 10)
+    assert int(lens[1]) == 5
+    wav, _ = codec.decode(idx)
+    assert wav.shape == (2, t)
+    rec = codec.rec_audio_from_audio(x)
+    assert rec.shape == (2, t)
+    z = codec.get_latent(x)
+    assert z.shape == (2, 10, 16)
+    q = codec.get_latent_quantized(x)
+    assert q.shape == (2, 10, 16)
+
+
+def test_encodec_adapter_roundtrip(rng):
+    """The bonus native EnCodec entry (causal flavour) round-trips."""
+    from dmel_codec_tpu.models.seanet import SEANetConfig
+
+    cfg = SEANetConfig.encodec_24k(
+        n_filters=4, dimension=16, ratios=(4, 2), lstm_layers=1,
+        n_q=4, codebook_size=32,
+    )
+    codec = make_codec("encodec", config=cfg)
+    assert codec.sample_rate == 24000
+    t = cfg.hop_length * 8
+    x = (rng.standard_normal((1, t)) * 0.3).astype(np.float32)
+    rec = codec.rec_audio_from_audio(x)
+    assert rec.shape == (1, t)
 
 
 def test_dac_adapter_roundtrip(rng):

@@ -96,17 +96,22 @@ class DataLoader:
         max_batch_size: Optional[int] = None,
         batch_multiple: int = 1,
         num_workers: int = 8,
+        audio_backend: str = "auto",
     ):
         """batch_multiple: pad each batch with silent zero-length items so
         the batch size divides the data-parallel mesh (masked losses make
         the fillers contribute nothing).
 
         num_workers: decode threads materializing batches concurrently
-        (1 = the original single background thread)."""
+        (1 = the original single background thread).
+
+        audio_backend: 'auto' (native C++ decode kernels when buildable,
+        else scipy), 'native', or 'python' — see data/audio.load_audio."""
         self.sample_rate = sample_rate
         self.length_quantum = length_quantum
         self.batch_multiple = batch_multiple
         self.num_workers = num_workers
+        self.audio_backend = audio_backend
         self.batcher = BucketBatcher(
             cuts,
             max_duration=max_duration,
@@ -125,6 +130,7 @@ class DataLoader:
                 self.sample_rate,
                 c.start,
                 c.duration if c.duration > 0 else None,
+                backend=self.audio_backend,
             )
             for c in batch
         ]

@@ -39,13 +39,14 @@ def make_corpus(root: str, n_files: int, seconds: float, sr: int) -> list:
     return cuts
 
 
-def bench(cuts, num_workers: int, max_duration: float) -> float:
+def bench(cuts, num_workers: int, max_duration: float, backend: str = "python") -> float:
     loader = DataLoader(
         cuts,
         sample_rate=24000,
         max_duration=max_duration,
         shuffle=False,
         num_workers=num_workers,
+        audio_backend=backend,
     )
     total_audio_s = 0.0
     start = time.perf_counter()
@@ -62,18 +63,24 @@ def main():
     ap.add_argument("--source-sr", type=int, default=44100)
     ap.add_argument("--max-duration", type=float, default=210.0)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 4, 8])
+    ap.add_argument(
+        "--backend",
+        default="python",
+        choices=["python", "native", "auto"],
+        help="decode path: scipy, the C++ kernels, or auto-detect",
+    )
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as root:
         cuts = make_corpus(root, args.files, args.seconds, args.source_sr)
         # warm the page cache so we measure decode, not cold disk
-        bench(cuts, 1, args.max_duration)
+        bench(cuts, 1, args.max_duration, args.backend)
         print(
             f"corpus: {args.files} x {args.seconds}s @ {args.source_sr} Hz -> "
-            f"24 kHz (host cores: {os.cpu_count()})"
+            f"24 kHz (host cores: {os.cpu_count()}, backend: {args.backend})"
         )
         for w in args.workers:
-            rate = bench(cuts, w, args.max_duration)
+            rate = bench(cuts, w, args.max_duration, args.backend)
             print(
                 f"num_workers={w:3d}  decode throughput: {rate:9.0f} audio-s/s "
                 f"({rate / 5000:.1f}x the flagship step demand)"

@@ -7,6 +7,13 @@ parameters replicated, batches sharded on axis 0, and gradient reduction
 emerging from XLA's partitioner inside the jitted train step — no explicit
 collectives needed in model code.
 
+Beyond-parity: Megatron-style TENSOR parallelism for the LM over a 2-D
+(data, model) mesh — attention heads and MLP hidden dim column-sharded,
+o_proj/down_proj row-sharded, so XLA's partitioner inserts exactly one
+all-reduce per attention block and one per MLP (the classic pattern).
+Everything is annotation-only: `NamedSharding`s on the param tree, no
+model-code changes; GQA KV heads shard while `model` divides num_kv_heads.
+
 Multi-host: per-host data loading indexes shards by `jax.process_index()`
 (data/loader.py); everything here works unchanged under multi-process JAX.
 """
@@ -20,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -42,3 +50,81 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put every array leaf of `batch` with axis-0 sharded."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (LM)
+# ---------------------------------------------------------------------------
+
+
+def dp_tp_mesh(
+    model: int,
+    data: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D (data, model) mesh: `model`-way tensor parallel within
+    contiguous device groups (adjacent devices share the highest-bandwidth
+    ICI links), data parallel across groups."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // model
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# column-parallel: output features sharded (their consumers keep the shard
+# local); row-parallel: input features sharded (contraction over the shard
+# makes XLA emit the block's single all-reduce)
+_TP_COL_PARENTS = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "gate_proj",
+    "up_proj",
+    "text_head",
+    "audio_head",
+)
+_TP_ROW_PARENTS = ("o_proj", "down_proj")
+
+
+def lm_param_pspec(path, leaf, model_size: int) -> P:
+    """Megatron-style PartitionSpec for one LM parameter.
+
+    Axis indices count from the RIGHT so stacked scan-layer params
+    ([L, in, out]) get the same logical sharding as per-layer ones.
+    Any dimension the mesh doesn't divide falls back to replication.
+    """
+    names = [getattr(k, "key", str(k)) for k in path]
+    parent = names[-2] if len(names) >= 2 else ""
+    leaf_name = names[-1]
+
+    def sharded(axis_from_right: int) -> P:
+        axis = leaf.ndim - axis_from_right
+        if leaf.shape[axis] % model_size:
+            return P()
+        spec = [None] * leaf.ndim
+        spec[axis] = MODEL_AXIS
+        return P(*spec)
+
+    if parent in _TP_COL_PARENTS and leaf_name in ("kernel", "bias"):
+        return sharded(1)
+    if parent in _TP_ROW_PARENTS and leaf_name == "kernel":
+        return sharded(2)
+    return P()
+
+
+def lm_param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for an LM param tree (replicated when the mesh
+    has no model axis, so DP-only meshes pass through unchanged)."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, lm_param_pspec(p, x, model_size)),
+        params,
+    )
+
+
+def shard_lm_params(params, mesh: Mesh):
+    """Device-put LM params with tensor-parallel layout."""
+    return jax.device_put(params, lm_param_shardings(params, mesh))

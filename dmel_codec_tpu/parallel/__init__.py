@@ -1,4 +1,6 @@
 from dmel_codec_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     batch_sharding,
     data_mesh,
     dp_tp_mesh,
@@ -9,6 +11,8 @@ from dmel_codec_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
     "data_mesh",
     "dp_tp_mesh",
     "batch_sharding",

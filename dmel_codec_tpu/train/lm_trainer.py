@@ -231,31 +231,32 @@ class LMTrainer:
             metrics,
         )
 
-    def shard_state(self, state: LMTrainState, mesh) -> "LMTrainState":
+    def shard_state(self, state: LMTrainState, mesh, fsdp: bool = False) -> "LMTrainState":
         """Lay the train state out on a mesh: params get tensor-parallel
         shardings when the mesh has a 'model' axis (Megatron-style,
-        parallel/mesh.lm_param_pspec), replicated otherwise; the optimizer
-        state is re-initialised under jit so its param-shaped leaves
-        (Adam mu/nu) inherit the same layout from XLA's propagation."""
+        parallel/mesh.lm_param_pspec) and/or ZeRO-3 data-axis shardings
+        when fsdp=True, replicated otherwise; the optimizer state is
+        re-initialised under jit so its param-shaped leaves (Adam mu/nu)
+        inherit the same layout from XLA's propagation."""
         from dmel_codec_tpu.parallel.mesh import replicated, shard_lm_params
 
-        params = shard_lm_params(state.params, mesh)
+        params = shard_lm_params(state.params, mesh, fsdp=fsdp)
         self._ensure_optimizer(params)
         opt_state = jax.jit(self._tx.init)(params)
         step = jax.device_put(state.step, replicated(mesh))
         return LMTrainState(step=step, params=params, opt_state=opt_state)
 
-    def jit_train_step(self, mesh=None):
+    def jit_train_step(self, mesh=None, fsdp: bool = False):
         if mesh is None:
             return jax.jit(self.train_step)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from dmel_codec_tpu.parallel.mesh import MODEL_AXIS
 
-        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
-            # tensor parallel: inputs arrive pre-committed (shard_state +
-            # shard_batch), jit honours those layouts and the partitioner
-            # propagates them through to the outputs
+        if fsdp or (MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1):
+            # tensor parallel / FSDP: inputs arrive pre-committed
+            # (shard_state + shard_batch), jit honours those layouts and
+            # the partitioner propagates them through to the outputs
             return jax.jit(self.train_step)
 
         repl = NamedSharding(mesh, P())

@@ -9,6 +9,10 @@ from dmel_codec_tpu.parallel.mesh import (
     shard_batch,
     shard_lm_params,
 )
+from dmel_codec_tpu.parallel.sequence import (
+    time_sharded_decode,
+    time_sharded_encode,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -20,4 +24,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_lm_params",
+    "time_sharded_decode",
+    "time_sharded_encode",
 ]

@@ -9,6 +9,11 @@ from dmel_codec_tpu.parallel.mesh import (
     shard_batch,
     shard_lm_params,
 )
+from dmel_codec_tpu.parallel.pipeline import (
+    pipelined_decoder,
+    split_stage_params,
+    stage_mesh,
+)
 from dmel_codec_tpu.parallel.sequence import (
     time_sharded_decode,
     time_sharded_encode,
@@ -24,6 +29,9 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_lm_params",
+    "pipelined_decoder",
+    "split_stage_params",
+    "stage_mesh",
     "time_sharded_decode",
     "time_sharded_encode",
 ]

@@ -87,20 +87,38 @@ def main() -> None:
     def back(vparams, gen_mel):
         return vocoder.apply({"params": vparams}, gen_mel)
 
+    @jax.jit
+    def chain(audio0, out):
+        # data dependency: iteration i+1's input waits on iteration i's
+        # output, so the loop below cannot be reordered or elided
+        return audio0 * (1.0 + 0.0 * jnp.mean(out).astype(jnp.float32))
+
     def pipeline(params, vparams, audio, noise):
         indices, idx_lengths = front(params, audio)
         gen_mel = mid(params, indices, idx_lengths, noise)
         return back(vparams, gen_mel)
 
+    # Timing methodology: on this remote-device tunnel block_until_ready
+    # can acknowledge before execution finishes, so naive dispatch loops
+    # under-measure. Honest wall clock = chain every iteration through a
+    # data dependency and force ONE device->host fetch at the end (the
+    # fetch cannot complete until the whole chain has executed), then
+    # subtract the measured fetch round-trip latency.
     out = pipeline(params, vparams, audio, noise)
-    out.block_until_ready()  # compile + warm
+    float(jnp.mean(out.astype(jnp.float32)))  # compile + warm + sync
 
-    n_iters = 10
+    t0 = time.perf_counter()
+    float(jnp.mean(out.astype(jnp.float32)))
+    fetch_latency = time.perf_counter() - t0  # round-trip on a ready value
+
+    n_iters = 20
+    a = audio
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = pipeline(params, vparams, audio, noise)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        out = pipeline(params, vparams, a, noise)
+        a = chain(audio, out)
+    float(jnp.mean(out.astype(jnp.float32)))  # forces the full chain
+    elapsed = time.perf_counter() - t0 - fetch_latency
 
     audio_seconds = BATCH * SECONDS * n_iters
     xrt = audio_seconds / elapsed

@@ -28,6 +28,24 @@ def trace(log_dir: str) -> Iterator[None]:
 annotate = jax.profiler.TraceAnnotation  # named host-side trace spans
 
 
+def sync(tree) -> None:
+    """Force TRUE completion of every array in `tree`.
+
+    On remote-device tunnels (e.g. the axon relay used on 1-chip dev
+    hosts) `jax.block_until_ready` can acknowledge before the device has
+    finished executing, which silently breaks wall-clock timing loops. A
+    device->host fetch of a value cannot complete early, so reducing each
+    leaf to a scalar and pulling it to the host is a reliable barrier.
+    Use this (not block_until_ready) around anything you time."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            float(jnp.mean(leaf.astype(jnp.float32)))
+        elif hasattr(leaf, "dtype"):
+            int(jnp.max(leaf.astype(jnp.int32)))
+
+
 @contextlib.contextmanager
 def timed(label: str, results: dict | None = None) -> Iterator[None]:
     """Wall-clock a block (remember jax is async — block_until_ready inside)."""

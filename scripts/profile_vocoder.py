@@ -30,14 +30,29 @@ from dmel_codec_tpu.models.bigvgan import (
 DTYPE = jnp.bfloat16
 
 
-def bench_fn(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+@jax.jit
+def _chain(x0, out):
+    """Ties iteration i+1's input to iteration i's output so the timing
+    loop can't be reordered/elided by the async remote-execution tunnel."""
+    return x0 * (1 + 0 * jnp.mean(out).astype(x0.dtype))
+
+
+def bench_fn(fn, p, x, iters=20):
+    """Honest timing on the tunnel: block_until_ready can ack before the
+    device finishes, so chain iterations through a data dependency and end
+    with a device->host fetch (subtracting the fetch round-trip)."""
+    out = fn(p, x)
+    float(jnp.mean(out.astype(jnp.float32)))  # warm + sync
+    t0 = time.perf_counter()
+    float(jnp.mean(out.astype(jnp.float32)))
+    fetch = time.perf_counter() - t0
+    xi = x
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        out = fn(p, xi)
+        xi = _chain(x, out)
+    float(jnp.mean(out.astype(jnp.float32)))
+    return max(time.perf_counter() - t0 - fetch, 1e-9) / iters
 
 
 def main():

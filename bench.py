@@ -90,8 +90,11 @@ def main() -> None:
     @jax.jit
     def chain(audio0, out):
         # data dependency: iteration i+1's input waits on iteration i's
-        # output, so the loop below cannot be reordered or elided
-        return audio0 * (1.0 + 0.0 * jnp.mean(out).astype(jnp.float32))
+        # output, so the loop below cannot be reordered or elided. The
+        # 1e-20 scale (not 0.0) keeps XLA's algebraic simplifier from
+        # folding the dependency away, while leaving audio0 bit-identical
+        # (the product underflows against |audio0| >= 1e-7).
+        return audio0 + 1e-20 * jnp.mean(out).astype(jnp.float32)
 
     def pipeline(params, vparams, audio, noise):
         indices, idx_lengths = front(params, audio)

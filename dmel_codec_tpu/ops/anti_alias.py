@@ -18,12 +18,24 @@ with f = kaiser_sinc(0.5/2, 0.6/2, 12) and the reference's exact padding
           + sum_{i=0..5} f[2i]   * v_odd [t+i-3]
 
 so each output tile [TT] needs input halo x[t0-6 .. t0+TT+5] — the same
-+-6-tap halo the CUDA kernel keeps in its shared-memory buffer
-(anti_alias_activation_cuda.cu:98-166).
++-6-tap halo the CUDA kernel keeps in its shared-memory buffer.
 
-Grid: (batch, time-tiles); channels ride the 128-wide lanes, time the
-sublanes. The input stays in HBM/ANY and each cell DMAs its haloed slice
-into a VMEM scratch (overlapping reads cannot be expressed as BlockSpecs).
+MXU formulation: the four 6-tap FIRs are compile-time-constant BANDED
+matrices, applied to 256-row blocks as [256, 272] x [272, C] matmuls
+(block-banded Toeplitz). The ~22x FLOP overhead of the dense band is far
+cheaper than per-tap VPU shift+FMA passes: the systolic array runs them at
+>100 TFLOP/s while the roll-based formulation was VPU-issue-bound (honest
+timing: 4-7 ms per activation at vocoder stages vs <2 ms memory-bound).
+Only the snake itself (sin, multiply-add) runs on the VPU.
+
+Layout: time on sublanes, channels on the 128-wide lanes. For C < 128 the
+batch is merged into the lane dimension ([B, T, C] -> [T, B*C]): one kernel
+serves every vocoder stage at full lane occupancy (the [B*C] lane vector of
+per-channel alpha/beta is just jnp.tile(alpha, B)).
+
+Grid: (batch, time-tiles). The input stays in HBM and each cell DMAs its
+haloed slice into a VMEM scratch (overlapping reads cannot be expressed as
+BlockSpecs).
 
 The public op is differentiable: forward = this kernel, backward = VJP of
 the unfused composite (the CUDA original simply raises on backward).
@@ -44,78 +56,122 @@ from dmel_codec_tpu.nn.resample import downsample1d, kaiser_sinc_filter1d, upsam
 from dmel_codec_tpu.nn.snake import snake, snake_beta
 
 _KS = 12
-
-
-def _halo(dtype) -> int:
-    """Input halo per side: 6 taps needed, rounded up to the sublane tile
-    (8 for fp32, 16 for bf16) so every DMA slice / vector slice is aligned."""
-    import jax.numpy as _jnp
-
-    return 16 if _jnp.dtype(dtype).itemsize < 4 else 8
 _FILT = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, _KS)  # [12], numpy
 
 _SNAKE_EPS = 1e-9
 
-
-def _pick_tile(t: int, channels: int, align: int = 8) -> int:
-    """Time-tile length: ~1 MiB per [TT, C] buffer, multiple of `align`."""
-    budget = (1 << 18) // max(channels, 1)
-    tt = max(align, min(2048, budget))
-    tt = (tt // align) * align
-    return min(tt, max(align, ((t + align - 1) // align) * align))
+_HALO = 16  # input halo per side: >= 6 taps, sublane-aligned for f32 + bf16
+_BLK = 256  # FIR block rows (matmul M dim)
+_KW = _BLK + 16  # 272: block + 6-tap reach each side, sublane-aligned
 
 
-def _shift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
-    """result[j] = arr[j + k] (circular; wrapped rows fall in the halo)."""
-    if k == 0:
-        return arr
-    return pltpu.roll(arr, (-k) % arr.shape[0], 0)
+def _sin_poly_coeffs(n_terms: int = 6) -> np.ndarray:
+    """Least-squares fit of sin(2*pi*t) = t * P(t^2) on Chebyshev nodes of
+    t in [-0.5, 0.5] (near-minimax, max abs error ~1e-8 at 6 terms =
+    degree-11 odd). The VPU's exact sin costs ~25 cycles/element and
+    dominated the whole activation (measured 1.85 ms vs 0.48 ms for the
+    polynomial on 74M elements); snake only needs float32-level accuracy."""
+    t = np.cos(np.linspace(0.0, np.pi, 4096)) * 0.5
+    t = t[np.abs(t) > 1e-6]
+    u = t * t
+    y = np.sin(2 * np.pi * t) / t
+    v = np.vander(u, n_terms, increasing=True)
+    c, *_ = np.linalg.lstsq(v, y, rcond=None)
+    return c.astype(np.float64)
 
 
-def _kernel(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int, halo: int):
+_SIN_COEFFS = _sin_poly_coeffs()
+
+
+def _fast_sin(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x) for float32 x via range reduction + odd polynomial."""
+    t = x * np.float32(1.0 / (2.0 * np.pi))
+    t = t - jnp.round(t)
+    u = t * t
+    acc = jnp.full_like(u, np.float32(_SIN_COEFFS[-1]))
+    for coef in _SIN_COEFFS[-2::-1]:
+        acc = acc * u + np.float32(coef)
+    return acc * t
+
+
+def _band_matrices() -> np.ndarray:
+    """[4, 256, 272] f32: up-even, up-odd, down-even, down-odd bands.
+
+    Row m of each matrix produces one output sample from the 272-sample
+    input window; the 6 taps sit on a diagonal band (see the phase
+    equations in the module docstring; offsets derived so that an input
+    window starting 8 rows before the block covers every tap in-bounds).
+    """
+    m_ue = np.zeros((_BLK, _KW), np.float32)
+    m_uo = np.zeros((_BLK, _KW), np.float32)
+    d_e = np.zeros((_BLK, _KW), np.float32)
+    d_o = np.zeros((_BLK, _KW), np.float32)
+    for m in range(_BLK):
+        for i in range(6):
+            m_ue[m, m + 10 - i] = 2.0 * float(_FILT[2 * i + 1])
+            m_uo[m, m + 11 - i] = 2.0 * float(_FILT[2 * i])
+            d_e[m, m + i + 6] = float(_FILT[2 * i + 1])
+            d_o[m, m + i + 5] = float(_FILT[2 * i])
+    return np.stack([m_ue, m_uo, d_e, d_o])
+
+
+_BANDS = _band_matrices()
+
+
+def _pick_tile(t: int, channels: int, itemsize: int) -> int:
+    """Time-tile length (multiple of _BLK): ~4 same-size VMEM buffers of
+    [tile, C] must fit comfortably under the 16 MiB VMEM budget."""
+    for tile in (1024, 512, 256):
+        if 4 * tile * max(channels, 128) * itemsize <= (8 << 20):
+            break
+    return tile
+
+
+def _kernel(
+    x_hbm, mats_ref, alpha_ref, beta_ref, out_ref, scratch, v_e, v_o, sem,
+    *, tile: int
+):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Haloed input slice: local index j <-> global x[i*tile - halo + j].
-    # Slice offset/length are multiples of the sublane tile.
+    # Haloed input slice: local row j <-> global x[i*tile - _HALO + j].
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
-        scratch,
-        sem,
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * _HALO), :], scratch, sem
     )
     copy.start()
     copy.wait()
 
-    # loads stay in the storage dtype (bandwidth); math runs in f32
-    xt = scratch[:].astype(jnp.float32)  # [L, C], L = tile + 2*halo
-
-    # Upsample phases at full length: u_even[j] = u[2s], u_odd[j] = u[2s+1]
-    # for s = t0 - halo + j. Circular wrap from the rolls only pollutes rows
-    # outside the ranges consumed below.
-    u_even = jnp.zeros_like(xt)
-    u_odd = jnp.zeros_like(xt)
-    for i_tap in range(6):
-        fe = float(2.0 * _FILT[2 * i_tap + 1])
-        fo = float(2.0 * _FILT[2 * i_tap])
-        u_even = u_even + fe * _shift(xt, 2 - i_tap)
-        u_odd = u_odd + fo * _shift(xt, 3 - i_tap)
-
-    # snake / snakebeta (alpha, 1/beta precomputed by the wrapper)
+    m_ue = mats_ref[0]
+    m_uo = mats_ref[1]
+    d_e = mats_ref[2]
+    d_o = mats_ref[3]
     alpha = alpha_ref[0, :].astype(jnp.float32)
     inv_beta = beta_ref[0, :].astype(jnp.float32)
-    se = jnp.sin(u_even * alpha)
-    so = jnp.sin(u_odd * alpha)
-    v_even = u_even + inv_beta * se * se
-    v_odd = u_odd + inv_beta * so * so
 
-    # Downsample at full length, then emit the aligned [8 : 8+tile] window.
-    y = jnp.zeros_like(xt)
-    for i_tap in range(6):
-        fe = float(_FILT[2 * i_tap + 1])
-        fo = float(_FILT[2 * i_tap])
-        y = y + fe * _shift(v_even, i_tap - 2)
-        y = y + fo * _shift(v_odd, i_tap - 3)
-    out_ref[0, :, :] = y[halo : halo + tile, :].astype(out_ref.dtype)
+    # Upsample phases + snake over rows [8, 8 + tile + 16) (covers the
+    # +-3-row reach of the downsample FIR around the output window); the
+    # last block is pulled back to stay in-bounds (overlap recompute).
+    u_rows = tile + 2 * (_HALO - 8)
+    n_up = (u_rows + _BLK - 1) // _BLK
+    for j in range(n_up):
+        s = min(8 + j * _BLK, 8 + u_rows - _BLK)
+        xin = scratch[pl.ds(s - 8, _KW), :]
+        ue = jnp.dot(m_ue, xin, preferred_element_type=jnp.float32)
+        uo = jnp.dot(m_uo, xin, preferred_element_type=jnp.float32)
+        se = _fast_sin(ue * alpha)
+        so = _fast_sin(uo * alpha)
+        v_e[pl.ds(s - 8, _BLK), :] = (ue + inv_beta * se * se).astype(v_e.dtype)
+        v_o[pl.ds(s - 8, _BLK), :] = (uo + inv_beta * so * so).astype(v_o.dtype)
+
+    # Downsample FIR: output rows [_HALO + j*_BLK, ...), v stored with an
+    # 8-row offset so each block reads v[j*_BLK : j*_BLK + _KW].
+    for j in range(tile // _BLK):
+        ve = v_e[pl.ds(j * _BLK, _KW), :]
+        vo = v_o[pl.ds(j * _BLK, _KW), :]
+        y = jnp.dot(d_e, ve, preferred_element_type=jnp.float32) + jnp.dot(
+            d_o, vo, preferred_element_type=jnp.float32
+        )
+        out_ref[0, pl.ds(j * _BLK, _BLK), :] = y.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -126,21 +182,25 @@ def _fused_forward(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, c = x.shape
-    halo = _halo(x.dtype)
-    tile = _pick_tile(t, c, align=halo)
+    tile = _pick_tile(t, c, jnp.dtype(x.dtype).itemsize)
     n_tiles = pl.cdiv(t, tile)
 
     # Replicate-pad the halo; extend the tail so every tile's DMA is in
-    # bounds (tail garbage lands in clipped output rows only).
-    pad_tail = n_tiles * tile - t + halo
-    xp = jnp.pad(x, ((0, 0), (halo, pad_tail), (0, 0)), mode="edge")
+    # bounds (tail values land in clipped output rows only).
+    pad_tail = n_tiles * tile - t + _HALO
+    xp = jnp.pad(x, ((0, 0), (_HALO, pad_tail), (0, 0)), mode="edge")
+    mats = jnp.asarray(_BANDS, x.dtype)
 
     return pl.pallas_call(
-        partial(_kernel, tile=tile, halo=halo),
+        partial(_kernel, tile=tile),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (4, _BLK, _KW), lambda b_, i_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -148,97 +208,13 @@ def _fused_forward(
             (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo, c), x.dtype),
+            pltpu.VMEM((tile + 2 * _HALO, c), x.dtype),
+            pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
+            pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, alpha[None, :], inv_beta[None, :])
-
-
-_LANE_HALO = 128  # lane-dim slices must be 128-aligned
-
-
-def _lshift(arr: jnp.ndarray, k: int) -> jnp.ndarray:
-    """result[.., j] = arr[.., j + k] (circular on the lane axis)."""
-    if k == 0:
-        return arr
-    return pltpu.roll(arr, (-k) % arr.shape[-1], 1)
-
-
-def _kernel_small_c(x_hbm, alpha_ref, beta_ref, out_ref, scratch, sem, *, tile: int):
-    """Transposed compute for C < 128: channels on sublanes (C % 8 == 0),
-    time on lanes so the 12-tap shifts become lane rotates. Array layout
-    stays [B, T, C] at the kernel boundary (a [T, C] <-> [C, T] transpose
-    happens in-register) so XLA never materialises a huge-lane-dim buffer.
-    Time halo is 128 per side (lane-slice alignment), amortised by the
-    2048 tile."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(i * tile, tile + 2 * _LANE_HALO)], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-
-    xt = scratch[:].astype(jnp.float32)  # [C, L]
-    u_even = jnp.zeros_like(xt)
-    u_odd = jnp.zeros_like(xt)
-    for i_tap in range(6):
-        fe = float(2.0 * _FILT[2 * i_tap + 1])
-        fo = float(2.0 * _FILT[2 * i_tap])
-        u_even = u_even + fe * _lshift(xt, 2 - i_tap)
-        u_odd = u_odd + fo * _lshift(xt, 3 - i_tap)
-
-    alpha = alpha_ref[:, 0:1].astype(jnp.float32)
-    inv_beta = beta_ref[:, 0:1].astype(jnp.float32)
-    se = jnp.sin(u_even * alpha)
-    so = jnp.sin(u_odd * alpha)
-    v_even = u_even + inv_beta * se * se
-    v_odd = u_odd + inv_beta * so * so
-
-    y = jnp.zeros_like(xt)
-    for i_tap in range(6):
-        fe = float(_FILT[2 * i_tap + 1])
-        fo = float(_FILT[2 * i_tap])
-        y = y + fe * _lshift(v_even, i_tap - 2)
-        y = y + fo * _lshift(v_odd, i_tap - 3)
-    out_ref[0, :, :] = y[:, _LANE_HALO : _LANE_HALO + tile].T.astype(out_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def _fused_forward_small_c(
-    x: jnp.ndarray,
-    alpha: jnp.ndarray,
-    inv_beta: jnp.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    b, t, c = x.shape
-    tile = 1024  # ~5 MB of f32 intermediates; 2048 brushes the 16 MB VMEM cap
-    n_tiles = pl.cdiv(t, tile)
-    # transposed INPUT [B, C, Tpad] (plain HBM buffer; lane-dim slices are
-    # then 128-aligned); the OUTPUT stays [B, T, C] via an in-kernel
-    # transpose so XLA never materialises a huge-lane-dim result in VMEM
-    xp = jnp.pad(
-        x, ((0, 0), (_LANE_HALO, n_tiles * tile - t + _LANE_HALO), (0, 0)), mode="edge"
-    ).transpose(0, 2, 1)
-    return pl.pallas_call(
-        partial(_kernel_small_c, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((c, tile + 2 * _LANE_HALO), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp, alpha[:, None], inv_beta[:, None])
+    )(xp, mats, alpha[None, :], inv_beta[None, :])
 
 
 def anti_alias_activation_reference(
@@ -255,6 +231,35 @@ def anti_alias_activation_reference(
     else:
         v = snake_beta(u, alpha, beta, logscale)
     return downsample1d(v, filt, 2, _KS)
+
+
+def _fast_composite(x: jnp.ndarray, a: jnp.ndarray, inv_b: jnp.ndarray):
+    """XLA up-FIR -> polynomial snake -> down-FIR.
+
+    For C >= 128 XLA's depthwise resampling convs are already near their
+    bandwidth bound on TPU (honest timing: 0.5 ms at [16,1500,768] with
+    the polynomial snake, vs 2.2 ms for the Pallas matmul kernel); the
+    exact-sin snake was what made the composite slow. For C < 128 the
+    depthwise convs collapse to poor utilisation and the Pallas kernel
+    wins — see the dispatch in fused_anti_alias_activation."""
+    filt = jnp.asarray(_FILT, x.dtype)
+    u = upsample1d(x, filt, 2, _KS)
+    uf = u.astype(jnp.float32)
+    s = _fast_sin(uf * a.astype(jnp.float32))
+    v = (uf + inv_b.astype(jnp.float32) * s * s).astype(x.dtype)
+    return downsample1d(v, filt, 2, _KS)
+
+
+def _run_padded(x, a, inv_b, interpret):
+    """Pad channels to a 128-lane multiple and run the kernel."""
+    c = x.shape[-1]
+    c_pad = (-c) % 128 if not interpret else 0
+    if c_pad:
+        xw = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad)))
+        aw = jnp.pad(a, (0, c_pad))
+        bw = jnp.pad(inv_b, (0, c_pad))
+        return _fused_forward(xw, aw, bw, interpret=interpret)[..., :c]
+    return _fused_forward(x, a, inv_b, interpret=interpret)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -279,13 +284,8 @@ def fused_anti_alias_activation(
     sub-sample-scale for serving) and saves ~4 convs per instance in both
     compile time and runtime.
     """
-    c = x.shape[-1]
-    # Layout dispatch: C >= 128 uses the channels-on-lanes kernel (padding C
-    # to a 128 multiple); 8 | C < 128 uses the transposed kernel (channels
-    # on sublanes, time on lanes — shifts become lane rotates); otherwise
-    # the unfused XLA path.
-    small_c = c < 128
-    if x.shape[1] < 32 or (small_c and c % 8 != 0):
+    b, t, c = x.shape
+    if t < 32:
         return anti_alias_activation_reference(x, alpha, beta, logscale)
     a = jnp.exp(alpha) if logscale else alpha
     if beta is None:
@@ -293,22 +293,23 @@ def fused_anti_alias_activation(
     else:
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
-    if small_c:  # interpret mode takes the same path (CPU test coverage)
-        y = _fused_forward_small_c(x, a, inv_b, interpret=interpret)
-        if exact_edges:
-            head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
-            tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
-            y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
-            y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
-        return y
-    c_pad = (-c) % 128 if not interpret else 0
-    if c_pad:
-        xw = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad)))
-        aw = jnp.pad(a, (0, c_pad))
-        bw = jnp.pad(inv_b, (0, c_pad))
-        y = _fused_forward(xw, aw, bw, interpret=interpret)[..., :c]
+
+    if c >= 128:
+        # XLA's depthwise FIRs are near bandwidth-bound at full lane
+        # occupancy; with the polynomial snake this beats the Pallas
+        # kernel (measured per-activation, see _fast_composite docstring)
+        y = _fast_composite(x, a, inv_b)
+    elif b > 1:
+        # Merge batch into lanes: [B, T, C] -> [T, B*C] so the small-C
+        # vocoder stages still fill the 128-wide lane dimension (each lane
+        # keeps its own alpha/beta via jnp.tile). XLA's depthwise conv at
+        # small C (or at B=1 with long T) runs far below this kernel.
+        xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
+        ym = _run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), interpret)
+        y = ym.reshape(t, b, c).transpose(1, 0, 2)
     else:
-        y = _fused_forward(x, a, inv_b, interpret=interpret)
+        y = _run_padded(x, a, inv_b, interpret)
+
     if exact_edges:
         head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
         tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)

@@ -34,7 +34,8 @@ DTYPE = jnp.bfloat16
 def _chain(x0, out):
     """Ties iteration i+1's input to iteration i's output so the timing
     loop can't be reordered/elided by the async remote-execution tunnel."""
-    return x0 * (1 + 0 * jnp.mean(out).astype(x0.dtype))
+    # 1e-20 (not 0) so XLA's simplifier can't fold the dependency away
+    return x0 + (1e-20 * jnp.mean(out.astype(jnp.float32))).astype(x0.dtype)
 
 
 def bench_fn(fn, p, x, iters=20):

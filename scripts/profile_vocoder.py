@@ -30,30 +30,35 @@ from dmel_codec_tpu.models.bigvgan import (
 DTYPE = jnp.bfloat16
 
 
-@jax.jit
-def _chain(x0, out):
-    """Ties iteration i+1's input to iteration i's output so the timing
-    loop can't be reordered/elided by the async remote-execution tunnel."""
-    # 1e-20 (not 0) so XLA's simplifier can't fold the dependency away
-    return x0 + (1e-20 * jnp.mean(out.astype(jnp.float32))).astype(x0.dtype)
-
-
 def bench_fn(fn, p, x, iters=20):
-    """Honest timing on the tunnel: block_until_ready can ack before the
-    device finishes, so chain iterations through a data dependency and end
-    with a device->host fetch (subtracting the fetch round-trip)."""
-    out = fn(p, x)
-    float(jnp.mean(out.astype(jnp.float32)))  # warm + sync
-    t0 = time.perf_counter()
-    float(jnp.mean(out.astype(jnp.float32)))
-    fetch = time.perf_counter() - t0
-    xi = x
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(p, xi)
-        xi = _chain(x, out)
-    float(jnp.mean(out.astype(jnp.float32)))
-    return max(time.perf_counter() - t0 - fetch, 1e-9) / iters
+    """Honest timing on the remote-device tunnel: repeat the op INSIDE one
+    jit (fori_loop, iterations chained through a 1e-20-scaled data
+    dependency XLA cannot simplify away) and difference two loop lengths —
+    per-dispatch/tunnel overhead cancels, and the final device->host fetch
+    cannot complete before the whole chain has executed."""
+
+    def rep(n):
+        def body(i, carry):
+            xi, acc = carry
+            out = fn(p, xi)
+            m = jnp.mean(out.astype(jnp.float32))
+            return (x + (1e-20 * m).astype(x.dtype), acc + m)
+
+        f = jax.jit(
+            lambda x0: jax.lax.fori_loop(
+                0, n, body, (x0, jnp.float32(0.0))
+            )[1]
+        )
+        float(f(x))  # warm + sync
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n_lo, n_hi = 2, 2 + iters
+    return max(rep(n_hi) - rep(n_lo), 1e-9) / (n_hi - n_lo)
 
 
 def main():
@@ -81,6 +86,7 @@ def main():
     p = jax.tree_util.tree_map(lambda a: a.astype(DTYPE), p)
     dt = bench_fn(jax.jit(lambda p, x: m.apply({"params": p}, x)), p, x, iters=args.iters)
     rows.append(("conv_pre", x.shape, dt))
+    print(f"  conv_pre: {dt*1e3:.2f} ms", flush=True)
     total += dt
 
     t = t_mel
@@ -97,6 +103,7 @@ def main():
         t *= u
         total += dt_up
         rows.append((f"up_{i} (x{u} {ch_in}->{ch})", x.shape, dt_up))
+        print(f"  up_{i}: {dt_up*1e3:.2f} ms", flush=True)
 
         y = jnp.asarray(rng.standard_normal((b, t, ch)), DTYPE)
         dt_blocks = 0.0
@@ -118,6 +125,7 @@ def main():
             dt_blocks += dt_b
         total += dt_blocks
         rows.append((f"resblocks_{i} (C={ch}, T={t})", y.shape, dt_blocks))
+        print(f"  resblocks_{i}: {dt_blocks*1e3:.2f} ms", flush=True)
         ch_in = ch
 
     # conv_post: [B, T, 24] -> 1 (wn, k=7)

@@ -44,6 +44,32 @@ def test_fused_short_input_falls_back(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
 
 
+def test_fast_sin_accuracy(rng):
+    """The kernel's polynomial sin must stay well inside the fused-vs-
+    oracle tolerance across the realistic activation range."""
+    from dmel_codec_tpu.ops.anti_alias import _fast_sin
+
+    x = rng.uniform(-50, 50, 100000).astype(np.float32)
+    got = np.asarray(_fast_sin(jnp.asarray(x)))
+    want = np.sin(x.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-5
+    # tighter in the typical |alpha*x| < 10 range
+    x = rng.uniform(-10, 10, 100000).astype(np.float32)
+    got = np.asarray(_fast_sin(jnp.asarray(x)))
+    assert np.abs(got - np.sin(x.astype(np.float64))).max() < 1.5e-6
+
+
+def test_fused_batch_merge_matches_oracle(rng):
+    """C < 128 with B > 1 exercises the [B,T,C] -> [T,B*C] lane-merged
+    kernel path; per-channel alpha/beta must land on the right lanes."""
+    x = jnp.asarray(rng.standard_normal((4, 300, 24)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.3)
+    want = anti_alias_activation_reference(x, alpha, beta, logscale=True)
+    got = fused_anti_alias_activation(x, alpha, beta, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
 def test_fused_gradients_match_oracle(rng):
     x = jnp.asarray(rng.standard_normal((1, 64, 8)).astype(np.float32))
     alpha = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.2)

@@ -27,7 +27,8 @@ from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
 from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
 
 BASELINE_XRT = 50.0
-BATCH = 16
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SECONDS = 4
 DTYPE = jnp.bfloat16  # serving precision (the reference casts to bf16 too)
 

@@ -85,6 +85,20 @@ def main(argv=None):
         state = LMTrainState(step=state.step, params=params, opt_state=state.opt_state)
         log.info("loaded Qwen2 foundation weights into the slow model")
 
+    if cfg.get("lora"):
+        # adapter-only finetune (a real version of the reference's
+        # declared-but-unimplemented use_lora, lm_lit_modules.py:371-381)
+        from dmel_codec_tpu.train.lora import LoRAConfig, lora_param_count
+
+        lora_cfg = dataclass_from_dict(LoRAConfig, cfg["lora"])
+        state = trainer.init_lora_state(
+            jax.random.PRNGKey(fit_cfg.seed), lora_cfg, base_params=state.params
+        )
+        log.info(
+            f"LoRA finetune: rank {lora_cfg.rank}, "
+            f"{lora_param_count(state.lora):,} trainable adapter params"
+        )
+
     LMFitLoop(trainer, train_batches, None, fit_cfg).run(state)
 
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from dmel_codec_tpu.parallel import data_mesh, shard_batch
 from dmel_codec_tpu.train.checkpoint import CheckpointManager
-from dmel_codec_tpu.train.lm_trainer import LMTrainer, LMTrainState
+from dmel_codec_tpu.train.lm_trainer import LMTrainer, LMTrainState, LoRATrainState
 from dmel_codec_tpu.train.loop import FitConfig
 from dmel_codec_tpu.utils.logging import MetricsWriter, RankedLogger
 
@@ -48,7 +48,14 @@ class LMFitLoop:
             state = restored
             log.info(f"resumed from checkpoint step {int(state.step)}")
 
-        step_fn = self.trainer.jit_train_step(mesh)
+        # LoRA finetune states train through the adapter-only step; the
+        # checkpoints they produce contain base+adapters (restoring just
+        # the `lora` subtree is the reference's LoRA-only checkpoint)
+        is_lora = isinstance(state, LoRATrainState)
+        if is_lora:
+            step_fn = jax.jit(self.trainer.lora_train_step)
+        else:
+            step_fn = self.trainer.jit_train_step(mesh)
         eval_fn = jax.jit(self.trainer.eval_metrics)
 
         step = int(state.step)
@@ -68,10 +75,15 @@ class LMFitLoop:
                         # (lm_lit_modules.py:305-326)
                         sums: dict = {}
                         count = 0
+                        eval_params = (
+                            self.trainer.merged_lora_params(state)
+                            if is_lora
+                            else state.params
+                        )
                         for i, vb in enumerate(self.val_batches()):
                             if i >= cfg.max_val_batches:
                                 break
-                            m = eval_fn(state.params, self._device_batch(vb))
+                            m = eval_fn(eval_params, self._device_batch(vb))
                             for k, v in m.items():
                                 sums[k] = sums.get(k, 0.0) + float(v)
                             count += 1

@@ -47,6 +47,18 @@ class LMTrainState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
+class LoRATrainState(flax.struct.PyTreeNode):
+    """Finetune state: the base params stay frozen (no optimizer moments
+    for them), only the adapter tree trains. Checkpointing `lora` alone IS
+    the reference's 'LoRA-only checkpoint' (lm_lit_modules.py:371-381) —
+    which the reference declares but has no layers to fill."""
+
+    step: jnp.ndarray
+    base_params: Any
+    lora: Any
+    opt_state: Any
+
+
 def _decay_mask(params):
     """True = apply weight decay. No decay for biases and norm weights
     (ref configure_optimizers :160-188). The reference ALSO lists
@@ -230,6 +242,70 @@ class LMTrainer:
             LMTrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
         )
+
+    # ---- LoRA finetuning -------------------------------------------------
+    def _ensure_lora_optimizer(self, lora) -> optax.GradientTransformation:
+        if not hasattr(self, "_lora_tx"):
+            self._lora_tx = self.make_optimizer(lora)
+        return self._lora_tx
+
+    def init_lora_state(
+        self, rng: jax.Array, lora_config=None, base_params=None
+    ) -> LoRATrainState:
+        """Base params (frozen) + zero-initialised adapters; the merged
+        model starts exactly at the base model. Pass `base_params` to
+        finetune from loaded weights (e.g. the Qwen2 foundation)."""
+        from dmel_codec_tpu.train.lora import LoRAConfig, init_lora
+
+        self.lora_config = lora_config or LoRAConfig()
+        rng, r = jax.random.split(rng)
+        base = base_params if base_params is not None else self.init_state(rng).params
+        lora = init_lora(r, base, self.lora_config)
+        self._ensure_lora_optimizer(lora)
+        return LoRATrainState(
+            step=jnp.zeros((), jnp.int32),
+            base_params=base,
+            lora=lora,
+            opt_state=self._lora_tx.init(lora),
+        )
+
+    def lora_train_step(
+        self, state: LoRATrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[LoRATrainState, Dict[str, jnp.ndarray]]:
+        from dmel_codec_tpu.train.lora import loss_and_grads_lora
+
+        self._ensure_lora_optimizer(state.lora)
+        (loss, out), grads = loss_and_grads_lora(
+            self.loss_fn, state.base_params, state.lora, self.lora_config, batch
+        )
+        updates, opt_state = self._lora_tx.update(
+            grads, state.opt_state, state.lora
+        )
+        lora = optax.apply_updates(state.lora, updates)
+        metrics = {
+            "train/grad_norm": optax.global_norm(grads),
+            "train/loss": loss,
+            "train/text_loss": out["text_loss"],
+            "train/audio_loss": out["audio_loss"],
+            "train/lr": self.schedule(
+                state.step // max(1, self.config.accumulate_grad)
+            ),
+        }
+        return (
+            LoRATrainState(
+                step=state.step + 1,
+                base_params=state.base_params,
+                lora=lora,
+                opt_state=opt_state,
+            ),
+            metrics,
+        )
+
+    def merged_lora_params(self, state: LoRATrainState):
+        """Base + adapters folded in — for generation/eval after finetune."""
+        from dmel_codec_tpu.train.lora import merge_lora
+
+        return merge_lora(state.base_params, state.lora, self.lora_config)
 
     def shard_state(self, state: LMTrainState, mesh, fsdp: bool = False) -> "LMTrainState":
         """Lay the train state out on a mesh: params get tensor-parallel

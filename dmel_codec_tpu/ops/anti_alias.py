@@ -121,7 +121,7 @@ _BANDS = _band_matrices()
 def _pick_tile(t: int, channels: int, itemsize: int) -> int:
     """Time-tile length (multiple of _BLK): ~4 same-size VMEM buffers of
     [tile, C] must fit comfortably under the 16 MiB VMEM budget."""
-    for tile in (1024, 512, 256):
+    for tile in (2048, 1024, 512, 256):
         if 4 * tile * max(channels, 128) * itemsize <= (8 << 20):
             break
     return tile

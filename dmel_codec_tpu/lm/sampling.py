@@ -32,28 +32,28 @@ def apply_repetition_penalty(
     return jnp.where(hit, penalized, logits)
 
 
-def _top_p_filter_sorted(vals: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Nucleus filter over DESC-sorted logits [K]: drop entries outside the
-    smallest prefix whose softmax mass reaches top_p (first always kept)."""
-    cum = jnp.cumsum(jax.nn.softmax(vals))
-    keep = (cum <= top_p) | (jnp.arange(vals.shape[-1]) == 0)
-    cutoff = jnp.min(jnp.where(keep, vals, jnp.inf))
-    return jnp.where(vals < cutoff, -jnp.inf, vals)
-
-
-def _topk_filtered(
+def _sparse_filtered_logits(
     logits: jnp.ndarray, top_k: int, top_p: float
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(filtered top-k logits [K] desc, their vocab indices [K]).
+) -> jnp.ndarray:
+    """Dense [V] logits with everything outside top-k/top-p set to -inf,
+    WITHOUT a full-vocabulary sort (the slow vocab is 151936; a dense
+    sort-per-token dominated serving sampling cost).
 
-    Once top-k filtering has run, every surviving logit is one of the k
-    largest, so the top-p cutoff is computable from those k values alone —
-    no full-vocabulary sort (the slow vocab is 151936; a dense
-    sort-per-token dominated serving sampling cost)."""
-    vals, idx = jax.lax.top_k(logits, top_k)
+    Matches the reference's pivot semantics (utils/utils.py:119-127:
+    `logits < kth -> -inf` keeps values TIED with the k-th); once top-k
+    filtering has run, the top-p cutoff is computable from the k largest
+    values alone. (Sole divergence from the dense path: with exact float
+    ties straddling BOTH position k and the nucleus boundary, the cutoff
+    is derived from exactly k entries rather than k+ties — measure-zero
+    for continuous logits.)"""
+    vals, _ = jax.lax.top_k(logits, top_k)
+    logits = jnp.where(logits < vals[-1], -jnp.inf, logits)
     if top_p < 1.0:
-        vals = _top_p_filter_sorted(vals, top_p)
-    return vals, idx
+        cum = jnp.cumsum(jax.nn.softmax(vals))
+        keep = (cum <= top_p) | (jnp.arange(vals.shape[-1]) == 0)
+        cutoff = jnp.min(jnp.where(keep, vals, jnp.inf))
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
 
 
 def logits_to_probs(
@@ -74,10 +74,10 @@ def logits_to_probs(
         )
 
     if top_k > 0 and top_k < logits.shape[-1]:
-        # sparse path: all work in the [K] space, one scatter back to [V]
-        vals, idx = _topk_filtered(logits, top_k, top_p)
-        probs_k = jax.nn.softmax(vals / max(temperature, 1e-5))
-        return jnp.zeros_like(logits).at[idx].set(probs_k)
+        # sparse path: cutoffs from the top-k values, dense elementwise
+        # filtering (keeps k-th ties like the reference), no [V] sort
+        filtered = _sparse_filtered_logits(logits, top_k, top_p)
+        return jax.nn.softmax(filtered / max(temperature, 1e-5))
 
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits)[::-1]
@@ -111,13 +111,49 @@ def sample_token(
         previous_tokens = None  # already applied
 
     if top_k > 0 and top_k < logits.shape[-1]:
-        # draw in the [K] space — the dense [V] softmax/sort never happens
-        vals, idx = _topk_filtered(logits, top_k, top_p)
-        scaled = vals / max(temperature, 1e-5)
-        choice = jax.random.categorical(rng, scaled)
-        token = idx[choice]
-        probs = jnp.zeros_like(logits).at[idx].set(jax.nn.softmax(scaled))
-        return token.astype(jnp.int32), probs
+        # Sparse draw, tie-exact: the class draw happens in the [K] space
+        # (a dense [V] categorical measurably slowed the serving loop),
+        # with the cutoff-tied class's weight folded up by its FULL dense
+        # multiplicity; only when ties extend beyond the top-k does a
+        # lax.cond fall back to a dense uniform tie-break. Distribution is
+        # exactly the reference's softmax over {logits >= cutoff}.
+        temp = max(temperature, 1e-5)
+        vals, idx = jax.lax.top_k(logits, top_k)  # desc
+        if top_p < 1.0:
+            cum = jnp.cumsum(jax.nn.softmax(vals))
+            keep = (cum <= top_p) | (jnp.arange(top_k) == 0)
+            cutoff = jnp.min(jnp.where(keep, vals, jnp.inf))
+        else:
+            cutoff = vals[-1]
+        tied = vals == cutoff
+        m_in = jnp.maximum(tied.sum(), 1)
+        m_total = jnp.maximum((logits == cutoff).sum(), m_in)
+        scaled = jnp.where(vals < cutoff, -jnp.inf, vals) / temp
+        scaled = jnp.where(
+            tied,
+            scaled + jnp.log(m_total.astype(jnp.float32) / m_in),
+            scaled,
+        )
+        rng, r_class, r_tie = jax.random.split(rng, 3)
+        choice = jax.random.categorical(r_class, scaled)
+        token_fast = idx[choice].astype(jnp.int32)
+
+        def dense_tie_break(_):
+            u = jax.random.uniform(r_tie, logits.shape)
+            return jnp.argmax(
+                jnp.where(logits == cutoff, u, -1.0)
+            ).astype(jnp.int32)
+
+        token = jax.lax.cond(
+            (m_total > m_in) & (vals[choice] == cutoff),
+            dense_tie_break,
+            lambda _: token_fast,
+            None,
+        )
+        probs = jax.nn.softmax(
+            jnp.where(logits < cutoff, -jnp.inf, logits) / temp
+        )  # dense + tie-exact; dead-code-eliminated when callers drop it
+        return token, probs
 
     probs = logits_to_probs(
         logits,

@@ -120,11 +120,14 @@ _BANDS = _band_matrices()
 
 def _pick_tile(t: int, channels: int, itemsize: int) -> int:
     """Time-tile length (multiple of _BLK): ~4 same-size VMEM buffers of
-    [tile, C] must fit comfortably under the 16 MiB VMEM budget."""
+    [tile, C] must fit comfortably under the 16 MiB VMEM budget, and the
+    tile never exceeds t rounded up to a block (short inputs would
+    otherwise compute thousands of edge-padded tail rows)."""
     for tile in (2048, 1024, 512, 256):
         if 4 * tile * max(channels, 128) * itemsize <= (8 << 20):
             break
-    return tile
+    t_cap = max(_BLK, ((t + _BLK - 1) // _BLK) * _BLK)
+    return min(tile, t_cap)
 
 
 def _kernel(

@@ -53,7 +53,7 @@ class LMFitLoop:
         # the `lora` subtree is the reference's LoRA-only checkpoint)
         is_lora = isinstance(state, LoRATrainState)
         if is_lora:
-            step_fn = jax.jit(self.trainer.lora_train_step)
+            step_fn = self.trainer.jit_lora_train_step(mesh)
         else:
             step_fn = self.trainer.jit_train_step(mesh)
         eval_fn = jax.jit(self.trainer.eval_metrics)

@@ -145,7 +145,10 @@ class LMTrainer:
             tx = optax.apply_if_finite(tx, c.skip_nonfinite_updates)
         return tx
 
-    def init_state(self, rng: jax.Array, seq_len: int = 16) -> LMTrainState:
+    def init_params(self, rng: jax.Array, seq_len: int = 16):
+        """Model parameters only (no optimizer state) — used by both the
+        full train state and LoRA finetunes, whose adapter-only optimizer
+        must not pay for base-sized Adam moments."""
         cfg = self.lm_config
         text = jnp.zeros((1, seq_len), jnp.int32)
         audio = jnp.zeros((1, seq_len, cfg.audio_codebook_count), jnp.int32)
@@ -153,16 +156,14 @@ class LMTrainer:
         labels_t = jnp.zeros((1, seq_len), jnp.int32)
         labels_a = jnp.zeros((1, seq_len, cfg.audio_codebook_count), jnp.int32)
 
-        def init_fn(rng):
-            model = self.model
-            p1 = model.init(rng, embeds, labels_t, labels_a)["params"]
-            return p1
-
-        params = init_fn(rng)
+        params = self.model.init(rng, embeds, labels_t, labels_a)["params"]
         # ensure embed tables exist (embed_inputs path shares the module)
-        params = self.model.init(
+        return self.model.init(
             rng, text, audio, method=ChatMusicLM.embed_inputs
         )["params"] | params
+
+    def init_state(self, rng: jax.Array, seq_len: int = 16) -> LMTrainState:
+        params = self.init_params(rng, seq_len)
         self._ensure_optimizer(params)
         return LMTrainState(
             step=jnp.zeros((), jnp.int32),
@@ -259,9 +260,12 @@ class LMTrainer:
 
         self.lora_config = lora_config or LoRAConfig()
         rng, r = jax.random.split(rng)
-        base = base_params if base_params is not None else self.init_state(rng).params
+        base = base_params if base_params is not None else self.init_params(rng)
         lora = init_lora(r, base, self.lora_config)
-        self._ensure_lora_optimizer(lora)
+        # always rebuild: the decay mask / MultiSteps state are shaped by
+        # THIS adapter tree (a cached optimizer from an earlier
+        # init_lora_state with different targets/rank would not match)
+        self._lora_tx = self.make_optimizer(lora)
         return LoRATrainState(
             step=jnp.zeros((), jnp.int32),
             base_params=base,
@@ -299,6 +303,30 @@ class LMTrainer:
                 opt_state=opt_state,
             ),
             metrics,
+        )
+
+    def jit_lora_train_step(self, mesh=None):
+        """Adapter-only step with the same data-parallel sharding contract
+        as jit_train_step: state replicated, batch sharded over 'data'."""
+        if mesh is None:
+            return jax.jit(self.lora_train_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            self.lora_train_step,
+            in_shardings=(
+                repl,
+                {
+                    "text_tokens": data,
+                    "audio_tokens": data,
+                    "text_labels": data,
+                    "audio_labels": data,
+                    "valid": data,
+                },
+            ),
+            out_shardings=(repl, repl),
         )
 
     def merged_lora_params(self, state: LoRATrainState):

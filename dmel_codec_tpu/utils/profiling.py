@@ -46,6 +46,42 @@ def sync(tree) -> None:
             int(jnp.max(leaf.astype(jnp.int32)))
 
 
+def timed_rep(make_dep, x0, iters: int = 10) -> float:
+    """Seconds per op, trustworthy on remote-device tunnels.
+
+    `make_dep(carry) -> scalar float32` must DEPEND on the carry (usually
+    `jnp.mean(op(carry).astype(jnp.float32))`). The op is repeated inside
+    ONE jit via lax.fori_loop — each iteration's input is re-derived from
+    the previous dep through a 1e-20 scale (nonzero, so XLA's algebraic
+    simplifier cannot fold the dependency away; numerically a no-op) —
+    and two loop lengths are differenced so dispatch/tunnel overhead
+    cancels. The closing device->host fetch cannot complete before the
+    whole chain has executed (unlike block_until_ready here — see sync).
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    def rep(n):
+        def body(i, carry):
+            x, acc = carry
+            dep = make_dep(x)
+            return (x0 + (1e-20 * dep).astype(x0.dtype), acc + dep)
+
+        f = jax.jit(
+            lambda a: jax.lax.fori_loop(0, n, body, (a, jnp.float32(0)))[1]
+        )
+        float(f(x0))  # warm + sync
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(f(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(rep(2 + iters) - rep(2), 1e-9) / iters
+
+
 @contextlib.contextmanager
 def timed(label: str, results: dict | None = None) -> Iterator[None]:
     """Wall-clock a block (remember jax is async — block_until_ready inside)."""

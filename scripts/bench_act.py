@@ -9,8 +9,6 @@ and difference two loop lengths — per-dispatch/tunnel overhead cancels.
 
 from __future__ import annotations
 
-import time
-
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -39,23 +37,16 @@ SHAPES = [
 ]
 
 
+from dmel_codec_tpu.utils.profiling import timed_rep as _timed_rep
+
+
 def timed_rep(op, x, alpha, beta):
-    """Seconds per op execution, overhead-cancelled."""
-
-    def rep(n):
-        f = jax.jit(
-            lambda x, a, b: jax.lax.fori_loop(
-                0, n, lambda i, y: op(y, a, b), x
-            )
-        )
-        out = f(x, alpha, beta)
-        float(jnp.mean(out.astype(jnp.float32)))  # warm + sync
-        t0 = time.perf_counter()
-        out = f(x, alpha, beta)
-        float(jnp.mean(out.astype(jnp.float32)))
-        return time.perf_counter() - t0
-
-    return (rep(N_HI) - rep(N_LO)) / (N_HI - N_LO)
+    """Seconds per op execution, overhead-cancelled (utils/profiling)."""
+    return _timed_rep(
+        lambda y: jnp.mean(op(y, alpha, beta).astype(jnp.float32)),
+        x,
+        iters=N_HI - N_LO,
+    )
 
 
 def main() -> None:

@@ -11,7 +11,6 @@ two loop lengths are differenced so dispatch overhead cancels.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 
@@ -29,27 +28,12 @@ from dmel_codec_tpu.utils.torch_compat import cast_floats
 DTYPE = jnp.bfloat16
 
 
+from dmel_codec_tpu.utils.profiling import timed_rep
+
+
 def timed(make_dep, x0, label, audio_seconds, iters=10):
     """make_dep(carry) -> scalar f32 that must depend on the carry."""
-
-    def rep(n):
-        def body(i, carry):
-            x, acc = carry
-            dep = make_dep(x)
-            return (x0 + (1e-20 * dep).astype(x0.dtype), acc + dep)
-
-        f = jax.jit(
-            lambda a: jax.lax.fori_loop(0, n, body, (a, jnp.float32(0)))[1]
-        )
-        float(f(x0))  # warm + sync
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            float(f(x0))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt = (rep(2 + iters) - rep(2)) / iters
+    dt = timed_rep(make_dep, x0, iters=iters)
     print(f"{label}: {dt*1e3:.1f} ms ({audio_seconds/dt:.0f} xRT alone)", flush=True)
     return dt
 

@@ -10,7 +10,6 @@ Run AFTER bench.py so the compile cache is warm-ish.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 
@@ -30,35 +29,14 @@ from dmel_codec_tpu.models.bigvgan import (
 DTYPE = jnp.bfloat16
 
 
+from dmel_codec_tpu.utils.profiling import timed_rep
+
+
 def bench_fn(fn, p, x, iters=20):
-    """Honest timing on the remote-device tunnel: repeat the op INSIDE one
-    jit (fori_loop, iterations chained through a 1e-20-scaled data
-    dependency XLA cannot simplify away) and difference two loop lengths —
-    per-dispatch/tunnel overhead cancels, and the final device->host fetch
-    cannot complete before the whole chain has executed."""
-
-    def rep(n):
-        def body(i, carry):
-            xi, acc = carry
-            out = fn(p, xi)
-            m = jnp.mean(out.astype(jnp.float32))
-            return (x + (1e-20 * m).astype(x.dtype), acc + m)
-
-        f = jax.jit(
-            lambda x0: jax.lax.fori_loop(
-                0, n, body, (x0, jnp.float32(0.0))
-            )[1]
-        )
-        float(f(x))  # warm + sync
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            float(f(x))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    n_lo, n_hi = 2, 2 + iters
-    return max(rep(n_hi) - rep(n_lo), 1e-9) / (n_hi - n_lo)
+    """Honest timing on the remote-device tunnel (utils/profiling.timed_rep)."""
+    return timed_rep(
+        lambda xi: jnp.mean(fn(p, xi).astype(jnp.float32)), x, iters=iters
+    )
 
 
 def main():

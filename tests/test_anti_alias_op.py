@@ -70,6 +70,26 @@ def test_fused_batch_merge_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
 
 
+@pytest.mark.parametrize("t,c", [(300, 24), (96, 130)])
+def test_fused_bf16_error_bounded(rng, t, c):
+    """bf16 serving (the production path) runs the FIR matmuls with
+    bf16-rounded taps and bf16 snake intermediates; bound that error
+    against the f32 oracle so a precision regression is caught."""
+    x32 = rng.standard_normal((4, t, c)).astype(np.float32)
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    want = np.asarray(
+        anti_alias_activation_reference(jnp.asarray(x32), alpha, beta, True)
+    )
+    got = np.asarray(
+        fused_anti_alias_activation(
+            jnp.asarray(x32, jnp.bfloat16), alpha, beta, True, True
+        )
+    ).astype(np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.03 * scale
+
+
 def test_fused_gradients_match_oracle(rng):
     x = jnp.asarray(rng.standard_normal((1, 64, 8)).astype(np.float32))
     alpha = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.2)

@@ -94,6 +94,33 @@ def test_sample_token_sparse_probs_match_dense(rng):
     assert float(probs[tok]) > 0.0
 
 
+def test_probs_keep_kth_ties_like_reference(rng):
+    """Logits tied with the k-th largest value must survive top-k
+    filtering (reference pivot semantics, utils/utils.py:119-127) — the
+    sparse path must not silently keep exactly k entries."""
+    logits = np.full(100, -5.0, np.float32)
+    logits[:8] = 2.0  # 8-way tie; top_k=5 pivot == 2.0 keeps all 8
+    want = _ref_probs(logits, None, 1.0, 5, 1.0)
+    got = logits_to_probs(jnp.asarray(logits), temperature=1.0, top_k=5, top_p=1.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    assert int((np.asarray(got) > 0).sum()) == 8
+
+
+def test_sample_token_reaches_beyond_topk_ties(rng):
+    """With an 8-way tie at the pivot and top_k=5, every tied token must
+    be reachable (the dense reference keeps all 8), each ~uniformly."""
+    logits = np.full(64, -9.0, np.float32)
+    logits[10:18] = 1.5
+    seen = set()
+    for i in range(120):
+        tok, _ = sample_token(
+            jax.random.PRNGKey(i), jnp.asarray(logits), top_k=5, top_p=1.0,
+            temperature=1.0,
+        )
+        seen.add(int(tok))
+    assert seen == set(range(10, 18)), seen
+
+
 def test_sample_token_greedy_is_argmax(rng):
     logits = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
     tok, _ = sample_token(jax.random.PRNGKey(1), logits, top_k=1)

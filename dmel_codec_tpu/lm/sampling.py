@@ -39,13 +39,20 @@ def _sparse_filtered_logits(
     WITHOUT a full-vocabulary sort (the slow vocab is 151936; a dense
     sort-per-token dominated serving sampling cost).
 
-    Matches the reference's pivot semantics (utils/utils.py:119-127:
+    Matches the reference's top-k pivot semantics (utils/utils.py:119-127:
     `logits < kth -> -inf` keeps values TIED with the k-th); once top-k
     filtering has run, the top-p cutoff is computable from the k largest
-    values alone. (Sole divergence from the dense path: with exact float
-    ties straddling BOTH position k and the nucleus boundary, the cutoff
-    is derived from exactly k entries rather than k+ties — measure-zero
-    for continuous logits.)"""
+    values alone.
+
+    Nucleus ties are VALUE-based by design, here and in the dense path
+    below: every logit equal to the boundary value is kept, where the
+    reference removes by sorted position (an arbitrary subset of equal
+    values survives, depending on sort order). Reachable with bf16 or
+    quantized logits; value-keep is the deterministic, permutation-
+    invariant semantics this library intends. A second, narrower
+    divergence: with ties straddling BOTH position k and the nucleus
+    boundary, the cutoff is derived from exactly k entries rather than
+    k+ties."""
     vals, _ = jax.lax.top_k(logits, top_k)
     logits = jnp.where(logits < vals[-1], -jnp.inf, logits)
     if top_p < 1.0:

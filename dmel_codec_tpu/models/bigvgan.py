@@ -323,14 +323,63 @@ def load_torch_checkpoint(path: str, config: BigVGANConfig) -> dict:
     )
 
 
-def from_pretrained(model_dir: str):
-    """Load a local BigVGAN release dir (config.json + bigvgan_generator.pt)
-    — the offline analogue of the reference's HF-hub _from_pretrained
-    (bigvgan.py:420-499). Returns (BigVGAN module, params)."""
-    import json
+def _resolve_pretrained_files(
+    model_id: str,
+    cache_dir=None,
+    revision=None,
+    local_files_only: bool = False,
+):
+    """Resolve a local dir OR an HF-hub id to (config.json, generator.pt)
+    paths, mirroring the reference's _from_pretrained resolution
+    (bigvgan.py:439-485). Hub ids hit the local HF cache first so cached
+    weights load with zero egress; only a cache miss attempts a download."""
     import os
 
-    with open(os.path.join(model_dir, "config.json")) as f:
+    if os.path.isdir(model_id):
+        return (
+            os.path.join(model_id, "config.json"),
+            os.path.join(model_id, "bigvgan_generator.pt"),
+        )
+    from huggingface_hub import hf_hub_download
+
+    paths = []
+    for filename in ("config.json", "bigvgan_generator.pt"):
+        try:
+            p = hf_hub_download(
+                model_id,
+                filename,
+                revision=revision,
+                cache_dir=cache_dir,
+                local_files_only=True,
+            )
+        except Exception:
+            if local_files_only:
+                raise
+            p = hf_hub_download(
+                model_id, filename, revision=revision, cache_dir=cache_dir
+            )
+        paths.append(p)
+    return tuple(paths)
+
+
+def from_pretrained(
+    model_id: str,
+    cache_dir=None,
+    revision=None,
+    local_files_only: bool = False,
+):
+    """Load a BigVGAN release from a local dir (config.json +
+    bigvgan_generator.pt) or an HF-hub id — drop-in for the reference's
+    hub-aware _from_pretrained (bigvgan.py:420-499). Hub ids resolve via
+    the HF cache (offline-friendly) with download fallback when networked.
+    Returns (BigVGAN module, params)."""
+    import json
+
+    config_path, weights_path = _resolve_pretrained_files(
+        model_id, cache_dir=cache_dir, revision=revision,
+        local_files_only=local_files_only,
+    )
+    with open(config_path) as f:
         h = json.load(f)
     config = BigVGANConfig(
         num_mels=h["num_mels"],
@@ -345,7 +394,5 @@ def from_pretrained(model_dir: str):
         use_bias_at_final=bool(h.get("use_bias_at_final", True)),
         use_tanh_at_final=bool(h.get("use_tanh_at_final", True)),
     )
-    params = load_torch_checkpoint(
-        os.path.join(model_dir, "bigvgan_generator.pt"), config
-    )
+    params = load_torch_checkpoint(weights_path, config)
     return BigVGAN(config=config), params

@@ -61,6 +61,11 @@ class CodecTrainConfig:
     final_lr_ratio: float = 0.01  # stage/pretrain.yaml:44
     accumulate_grad: int = 1
     freeze_encoder: bool = False
+    # >0 wraps both optimizers in optax.apply_if_finite: up to N consecutive
+    # non-finite updates are dropped instead of poisoning the params — the
+    # jit-able analogue of the reference's swallow-any-exception train step
+    # (lm_lit_modules.py:361-365; the codec has no guard at all and dies)
+    skip_nonfinite_updates: int = 0
 
 
 class CodecTrainState(flax.struct.PyTreeNode):
@@ -90,17 +95,23 @@ class CodecTrainer:
         codec_config: DMelCodecConfig = DMelCodecConfig(),
         train_config: CodecTrainConfig = CodecTrainConfig(),
         mel_transform: Optional[LogMelSpectrogram] = None,
+        gt_mel_transform: Optional[LogMelSpectrogram] = None,
     ):
         self.codec_config = codec_config
         self.config = train_config
         self.codec = DMelCodec(config=codec_config)
         self.discriminator = MelDiscriminator()
-        # Flagship uses identical encode/gt transforms (dMel_used.yaml:87-106).
+        # The reference wires two independently configurable transforms —
+        # encode_mel_transform feeds the encoder, gt_mel_transform feeds the
+        # losses/quality (codec_lit_modules.py:170-174, dMel_used.yaml:87-106).
+        # The flagship config makes them identical; `gt_mel_transform=None`
+        # keeps that default while preserving the degree of freedom.
         self.mel_transform = mel_transform or LogMelSpectrogram(
             sample_rate=codec_config.sample_rate,
             hop_length=codec_config.hop_length,
             n_mels=codec_config.n_mels,
         )
+        self.gt_mel_transform = gt_mel_transform or self.mel_transform
 
         c = train_config
         self.schedule = cosine_schedule_with_warmup(
@@ -138,7 +149,11 @@ class CodecTrainer:
                 _gen_param_labels(gen_params),
             )
         disc_tx = optax.chain(optax.clip_by_global_norm(c.grad_clip), self._adamw())
-        return self._wrap_accum(gen_tx), self._wrap_accum(disc_tx)
+        gen_tx, disc_tx = self._wrap_accum(gen_tx), self._wrap_accum(disc_tx)
+        if c.skip_nonfinite_updates > 0:
+            gen_tx = optax.apply_if_finite(gen_tx, c.skip_nonfinite_updates)
+            disc_tx = optax.apply_if_finite(disc_tx, c.skip_nonfinite_updates)
+        return gen_tx, disc_tx
 
     def init_state(self, rng: jax.Array, max_frames: int = 128) -> CodecTrainState:
         cfg = self.codec_config
@@ -160,15 +175,22 @@ class CodecTrainer:
 
     # ------------------------------------------------------------------
     def _prepare(self, audios: jnp.ndarray, audio_lengths: jnp.ndarray):
-        """Mel extraction, masks and quality — the no-grad preamble (:170-179)."""
-        mels = self.mel_transform(audios)
-        quality = quality_from_gt_mels(mels)
-        mel_lengths = audio_lengths // self.mel_transform.hop_length
-        mel_masks = sequence_mask(mel_lengths, mels.shape[1])[..., None].astype(
-            mels.dtype
+        """Mel extraction, masks and quality — the no-grad preamble (:170-179).
+        Encoder input comes from `mel_transform`; gt mels, the quality
+        scalar and mask lengths from `gt_mel_transform` (ref :170-179 uses
+        gt_mel_transform for all three)."""
+        encode_mels = self.mel_transform(audios)
+        if self.gt_mel_transform is self.mel_transform:
+            gt_raw = encode_mels
+        else:
+            gt_raw = self.gt_mel_transform(audios)
+        quality = quality_from_gt_mels(gt_raw)
+        mel_lengths = audio_lengths // self.gt_mel_transform.hop_length
+        mel_masks = sequence_mask(mel_lengths, gt_raw.shape[1])[..., None].astype(
+            gt_raw.dtype
         )
-        gt_mels = mels * mel_masks
-        return mels, gt_mels, mel_masks, quality
+        gt_mels = gt_raw * mel_masks
+        return encode_mels, gt_mels, mel_masks, quality
 
     def train_step(
         self, state: CodecTrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array

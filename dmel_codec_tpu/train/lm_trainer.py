@@ -126,8 +126,15 @@ class LMTrainer:
             self._tx = self.make_optimizer(params)
         return self._tx
 
-    def make_optimizer(self, params) -> optax.GradientTransformation:
+    def make_optimizer(self, params, *, adapter: bool = False) -> optax.GradientTransformation:
         c = self.config
+        if adapter:
+            # LoRA a/b matrices get NO weight decay: decaying `a` while b==0
+            # shrinks the init with zero loss signal, and standard LoRA
+            # recipes exclude adapters from decay entirely.
+            mask = jax.tree_util.tree_map(lambda _: False, params)
+        else:
+            mask = _decay_mask(params)
         tx = optax.chain(
             optax.clip_by_global_norm(c.grad_clip),
             optax.adamw(
@@ -136,7 +143,7 @@ class LMTrainer:
                 b2=c.betas[1],
                 eps=c.eps,
                 weight_decay=c.weight_decay,
-                mask=_decay_mask(params),
+                mask=mask,
             ),
         )
         if c.accumulate_grad > 1:
@@ -245,10 +252,18 @@ class LMTrainer:
         )
 
     # ---- LoRA finetuning -------------------------------------------------
-    def _ensure_lora_optimizer(self, lora) -> optax.GradientTransformation:
-        if not hasattr(self, "_lora_tx"):
-            self._lora_tx = self.make_optimizer(lora)
-        return self._lora_tx
+    def _require_lora_setup(self):
+        """Fail fast when the LoRA preconditions are unmet: the adapter
+        optimizer and config are shaped by init_lora_state's rank/targets —
+        a lazily rebuilt one would not match a restored opt_state."""
+        if not hasattr(self, "lora_config") or not hasattr(self, "_lora_tx"):
+            raise RuntimeError(
+                "LoRA training requires init_lora_state(rng, lora_config, "
+                "base_params) first — it binds the adapter optimizer to the "
+                "config's rank/targets. To resume from a checkpoint, call "
+                "init_lora_state with the SAME LoRAConfig, then restore the "
+                "state over it."
+            )
 
     def init_lora_state(
         self, rng: jax.Array, lora_config=None, base_params=None
@@ -262,10 +277,10 @@ class LMTrainer:
         rng, r = jax.random.split(rng)
         base = base_params if base_params is not None else self.init_params(rng)
         lora = init_lora(r, base, self.lora_config)
-        # always rebuild: the decay mask / MultiSteps state are shaped by
-        # THIS adapter tree (a cached optimizer from an earlier
-        # init_lora_state with different targets/rank would not match)
-        self._lora_tx = self.make_optimizer(lora)
+        # always rebuild: the MultiSteps state is shaped by THIS adapter
+        # tree (a cached optimizer from an earlier init_lora_state with
+        # different targets/rank would not match)
+        self._lora_tx = self.make_optimizer(lora, adapter=True)
         return LoRATrainState(
             step=jnp.zeros((), jnp.int32),
             base_params=base,
@@ -278,7 +293,7 @@ class LMTrainer:
     ) -> Tuple[LoRATrainState, Dict[str, jnp.ndarray]]:
         from dmel_codec_tpu.train.lora import loss_and_grads_lora
 
-        self._ensure_lora_optimizer(state.lora)
+        self._require_lora_setup()
         (loss, out), grads = loss_and_grads_lora(
             self.loss_fn, state.base_params, state.lora, self.lora_config, batch
         )
@@ -308,6 +323,7 @@ class LMTrainer:
     def jit_lora_train_step(self, mesh=None):
         """Adapter-only step with the same data-parallel sharding contract
         as jit_train_step: state replicated, batch sharded over 'data'."""
+        self._require_lora_setup()
         if mesh is None:
             return jax.jit(self.lora_train_step)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -331,6 +347,7 @@ class LMTrainer:
 
     def merged_lora_params(self, state: LoRATrainState):
         """Base + adapters folded in — for generation/eval after finetune."""
+        self._require_lora_setup()
         from dmel_codec_tpu.train.lora import merge_lora
 
         return merge_lora(state.base_params, state.lora, self.lora_config)

@@ -119,3 +119,75 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "codec GAN step OK" in proc.stdout, proc.stdout
     assert "LM step OK" in proc.stdout, proc.stdout
+
+
+def test_codec_nonfinite_update_skipping(rng):
+    """A poisoned batch (NaN audio) must not kill the run when
+    skip_nonfinite_updates > 0: both optimizers drop the update and the
+    params stay intact (flagship configs set 5)."""
+    from tests.test_trainer import SMALL, _batch
+    from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
+
+    trainer = CodecTrainer(
+        SMALL, CodecTrainConfig(num_warmup_steps=1, skip_nonfinite_updates=3)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), max_frames=16)
+    step = trainer.jit_train_step()
+    batch = _batch(rng)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["train/generator/loss"]))
+
+    poisoned = dict(batch)
+    poisoned["audios"] = batch["audios"].at[0, 0].set(jnp.nan)
+    s2, _ = step(s1, poisoned, jax.random.PRNGKey(2))
+    for a, b in zip(
+        jax.tree_util.tree_leaves((s1.gen_params, s1.disc_params)),
+        jax.tree_util.tree_leaves((s2.gen_params, s2.disc_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a healthy batch afterwards trains again
+    s3, m3 = step(s2, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m3["train/generator/loss"]))
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(jnp.subtract, s3.gen_params, s2.gen_params),
+        0.0,
+    )
+    assert moved > 0
+
+
+def test_codec_trainer_dual_mel_transforms(rng):
+    """Separate encode/gt mel transforms (ref codec_lit_modules.py:170-174,
+    dMel_used.yaml:87-106): gt-side losses must follow the gt transform."""
+    from tests.test_trainer import SMALL, _batch
+    from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
+    from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
+
+    enc_t = LogMelSpectrogram(
+        sample_rate=SMALL.sample_rate,
+        hop_length=SMALL.hop_length,
+        n_mels=SMALL.n_mels,
+    )
+    gt_t = LogMelSpectrogram(
+        sample_rate=SMALL.sample_rate,
+        hop_length=SMALL.hop_length,
+        n_mels=SMALL.n_mels,
+        f_max=8000.0,
+    )
+    shared = CodecTrainer(SMALL, CodecTrainConfig(), mel_transform=enc_t)
+    dual = CodecTrainer(
+        SMALL, CodecTrainConfig(), mel_transform=enc_t, gt_mel_transform=gt_t
+    )
+    assert shared.gt_mel_transform is shared.mel_transform
+    state = shared.init_state(jax.random.PRNGKey(0), max_frames=16)
+    batch = _batch(rng)
+
+    _, m_shared = jax.jit(shared.train_step)(state, batch, jax.random.PRNGKey(1))
+    _, m_dual = jax.jit(dual.train_step)(state, batch, jax.random.PRNGKey(1))
+    for m in (m_shared, m_dual):
+        assert np.isfinite(float(m["train/generator/loss_mel"]))
+    # different gt transform -> different mel target -> different loss
+    assert float(m_shared["train/generator/loss_mel"]) != float(
+        m_dual["train/generator/loss_mel"]
+    )

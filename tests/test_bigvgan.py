@@ -69,3 +69,47 @@ def test_bigvgan_flagship_config_builds():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, cfg.num_mels)))
     out = model.apply(params, jnp.zeros((1, 4, cfg.num_mels)))
     assert out.shape == (1, 4 * 256)
+
+
+def test_from_pretrained_resolves_hub_id_from_cache(tmp_path):
+    """from_pretrained accepts an HF-hub id and resolves it through the
+    local hub cache with zero egress (ref bigvgan.py:420-499), returning
+    the same model as the local-dir path."""
+    import json
+
+    from dmel_codec_tpu.models.bigvgan import from_pretrained
+
+    resblock, activation = "1", "snakebeta"
+    ref = _ref_model(resblock, activation)
+    h = {
+        **{k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()},
+        "resblock": resblock,
+        "activation": activation,
+    }
+
+    # local release dir
+    local = tmp_path / "release"
+    local.mkdir()
+    (local / "config.json").write_text(json.dumps(h))
+    torch.save({"generator": ref.state_dict()}, local / "bigvgan_generator.pt")
+
+    # the same release laid out as an HF hub cache snapshot
+    cache = tmp_path / "hub"
+    repo = cache / "models--fake-org--tiny-bigvgan"
+    rev = "0" * 40
+    (repo / "refs").mkdir(parents=True)
+    (repo / "refs" / "main").write_text(rev)
+    snap = repo / "snapshots" / rev
+    snap.mkdir(parents=True)
+    (snap / "config.json").write_text(json.dumps(h))
+    torch.save({"generator": ref.state_dict()}, snap / "bigvgan_generator.pt")
+
+    model_a, params_a = from_pretrained(str(local))
+    model_b, params_b = from_pretrained(
+        "fake-org/tiny-bigvgan", cache_dir=str(cache), local_files_only=True
+    )
+    assert model_a.config == model_b.config
+    mel = jnp.zeros((1, 8, model_a.config.num_mels))
+    a = model_a.apply({"params": params_a}, mel)
+    b = model_b.apply({"params": params_b}, mel)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

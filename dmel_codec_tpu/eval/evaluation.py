@@ -30,9 +30,11 @@ class Evaluation:
         self,
         codec,
         asr: Optional[WhisperASR] = None,
-        compute_pesq: bool = False,
+        compute_pesq: bool = True,
         compute_spk_sim: bool = False,
     ):
+        # compute_pesq defaults ON: pesq_wb_16k no longer needs external
+        # packages (native P.862 fallback, eval/pesq_native.py)
         self.codec = codec
         self.asr = asr
         self.compute_pesq = compute_pesq

@@ -1,0 +1,281 @@
+"""Native wide-band PESQ (ITU-T P.862 / P.862.2 structure), numpy.
+
+Capability parity target: the reference computes PESQ through torchmetrics'
+wrapper of the ITU reference implementation
+(/root/reference/dmel_codec/evaluation/evaluation_utils.py:154-187,
+`pesq(16000, gt, rec, "wb")`). Neither the `pesq` package nor the ITU
+binary exists in this environment, so the metric is implemented here from
+the published algorithm (Rix et al., ICASSP 2001; ITU-T Rec. P.862 (2001),
+P.862.2 wideband extension (2007)):
+
+    level align -> input filter -> envelope time alignment ->
+    short-time FFT -> Bark-band pitch powers -> partial frequency/gain
+    compensation -> Zwicker loudness -> masked disturbance ->
+    asymmetric disturbance -> L6/L2 time aggregation -> raw score ->
+    P.862.2 MOS-LQO logistic map
+
+HONESTY NOTE (scope of conformance): the ITU reference realises the Bark
+warp, band widths and absolute thresholds as fixed 49-entry tables and
+adds utterance-level re-alignment; those tables are not reproducible from
+the spec text alone, so this implementation derives the filterbank from
+the documented Zwicker/Terhardt formulas instead and uses one global
+alignment. Identical signals score the exact P.862.2 maximum (4.644);
+degradations are scored on the same perceptual scale with the published
+constants (0.1/0.0309 disturbance weights, 1.3669/3.8224 logistic).
+Agreement with the ITU tool on its conformance corpus is NOT claimed —
+tests pin the max score, level/delay invariance and strict monotonicity
+in noise and bandwidth (tests/test_pesq_native.py). When the real `pesq`
+package is importable it is preferred automatically (eval/external.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FS = 16000
+_NFFT = 512  # 32 ms frames
+_HOP = 256
+_NB = 49  # Bark bands (wideband mode)
+_ZWICKER_POW = 0.23
+_DB_TO_POW = np.log(10.0) / 10.0
+
+# P.862.2 wideband MOS-LQO mapping constants (ITU-T P.862.2 eq. 7-1)
+_MAP_A, _MAP_B = -1.3669, 3.8224
+# raw-score disturbance weights (P.862 section 10.5.2)
+_W_D, _W_DA = 0.1, 0.0309
+# Internal calibration (the ITU Sp/Sl table constants are not in the spec
+# text): _SP scales Bark band powers onto the regime where the Zwicker law
+# has its P.862 sensitivity (bands must sit well ABOVE the absolute
+# threshold for audible speech — the real-SPL regime); _SL scales loudness
+# density. Fitted (scripts/fit_pesq.py) so the speech+white-noise response
+# matches the published wideband PESQ curve: targets at SNR 40/30/20/10/0
+# dB are MOS ~4.3/3.7/2.9/2.0/1.3; fitted response 4.53/3.43/2.78/2.02/1.58
+# (strictly monotone, full range). Identical inputs score exactly 4.5 raw.
+_SP = 8000.0
+_SL = 0.84
+
+
+def _bark(f: np.ndarray) -> np.ndarray:
+    """Modified Bark warp used by the perceptual model: z = 7 asinh(f/650)."""
+    return 7.0 * np.arcsinh(np.asarray(f, np.float64) / 650.0)
+
+
+def _abs_threshold_db(f: np.ndarray) -> np.ndarray:
+    """Terhardt absolute hearing threshold (dB SPL), the basis of the
+    reference's per-band absolute threshold table."""
+    khz = np.maximum(np.asarray(f, np.float64), 20.0) / 1000.0
+    return (
+        3.64 * khz**-0.8
+        - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
+        + 1e-3 * khz**4
+    )
+
+
+class _Filterbank:
+    """FFT-bin -> Bark-band aggregation matrix plus per-band constants."""
+
+    def __init__(self):
+        freqs = np.fft.rfftfreq(_NFFT, 1.0 / _FS)
+        z_max = _bark(_FS / 2)
+        edges_z = np.linspace(_bark(50.0), z_max, _NB + 1)
+        # invert z = 7 asinh(f/650)
+        edges_f = 650.0 * np.sinh(edges_z / 7.0)
+        self.centre_f = 0.5 * (edges_f[1:] + edges_f[:-1])
+        self.width_z = np.diff(edges_z)
+
+        m = np.zeros((_NB, freqs.size))
+        idx = np.searchsorted(edges_f, freqs, side="right") - 1
+        for k, b in enumerate(idx):
+            if 0 <= b < _NB:
+                m[b, k] = 1.0
+        counts = np.maximum(m.sum(axis=1), 1.0)
+        self.mat = m / counts[:, None]  # mean bin power per band
+        self.n_bins = counts
+        # absolute threshold as power on the internal scale (dB -> power,
+        # calibrated so a 73 dB SPL sine ~ the standard listening level)
+        self.abs_thresh = np.exp(_DB_TO_POW * _abs_threshold_db(self.centre_f))
+        self.valid = m.sum(axis=1) > 0
+
+
+_FB = _Filterbank()
+
+
+def _active_power(x: np.ndarray) -> float:
+    """Mean power over 'active' 4 ms segments (above 1e-3 of peak power) —
+    the speech-activity part of P.862's fix_power_level."""
+    seg = len(x) // 64 * 64
+    if seg == 0:
+        return float(np.mean(x**2) + 1e-20)
+    p = (x[:seg].reshape(-1, 64) ** 2).mean(axis=1)
+    thresh = max(p.max(), 1e-20) * 1e-3
+    act = p[p > thresh]
+    return float(act.mean() if act.size else p.mean() + 1e-20)
+
+
+def _level_align(x: np.ndarray) -> np.ndarray:
+    """Scale to the standard internal level (P.862 fix_power_level: both
+    signals are normalised to a fixed band power before the model)."""
+    target = 10.0**7 / (_NFFT / 2.0)  # per-sample power on the FFT scale
+    return x * np.sqrt(target / _active_power(x))
+
+
+def _input_filter(x: np.ndarray) -> np.ndarray:
+    """Wideband input filter: 100 Hz high-pass (P.862.2 replaces the IRS
+    receive characteristic with a flat response above 100 Hz)."""
+    from scipy.signal import butter, sosfilt
+
+    sos = butter(4, 100.0 / (_FS / 2), btype="highpass", output="sos")
+    return sosfilt(sos, x)
+
+
+def _crude_align(ref: np.ndarray, deg: np.ndarray, max_delay_s: float = 0.5) -> int:
+    """Global delay estimate via cross-correlation of 4 ms log-energy
+    envelopes (P.862 crude_align). Returns deg's delay in samples."""
+    hop = 64
+    n = min(len(ref), len(deg)) // hop
+    if n < 4:
+        return 0
+    er = np.log10((ref[: n * hop].reshape(n, hop) ** 2).mean(axis=1) + 1e-10)
+    ed = np.log10((deg[: n * hop].reshape(n, hop) ** 2).mean(axis=1) + 1e-10)
+    max_lag = int(max_delay_s * _FS / hop)
+    lags = range(-max_lag, max_lag + 1)
+    best, best_lag = -np.inf, 0
+    for lag in lags:
+        if lag >= 0:
+            a, b = er[: n - lag], ed[lag:]
+        else:
+            a, b = er[-lag:], ed[: n + lag]
+        if len(a) < 8:
+            continue
+        # Pearson correlation per lag: overlap-normalised, so shrinking
+        # windows and silence floors cannot fake a peak
+        am, bm = a - a.mean(), b - b.mean()
+        denom = np.sqrt((am**2).sum() * (bm**2).sum()) + 1e-12
+        c = float(np.dot(am, bm) / denom)
+        if c > best:
+            best, best_lag = c, lag
+    return best_lag * hop
+
+
+def _frames(x: np.ndarray) -> np.ndarray:
+    n = (len(x) - _NFFT) // _HOP + 1
+    if n <= 0:
+        return np.zeros((0, _NFFT))
+    idx = np.arange(_NFFT)[None, :] + _HOP * np.arange(n)[:, None]
+    return x[idx]
+
+
+def _bark_powers(x: np.ndarray) -> np.ndarray:
+    """[T, NB] pitch power densities: Hann STFT power -> Bark bands."""
+    fr = _frames(x)
+    win = np.hanning(_NFFT)
+    spec = np.fft.rfft(fr * win, axis=-1)
+    power = (spec.real**2 + spec.imag**2) / (win.sum() ** 2 / 4.0)
+    return _SP * (power @ _FB.mat.T)
+
+
+def _loudness(p: np.ndarray) -> np.ndarray:
+    """Zwicker loudness density (P.862 intensity_warping_of):
+    S = Sl (P0/0.5)^g [ (0.5 + 0.5 P/P0)^g - 1 ], zero below threshold."""
+    p0 = _FB.abs_thresh[None, :]
+    g = _ZWICKER_POW
+    s = _SL * (p0 / 0.5) ** g * ((0.5 + 0.5 * p / p0) ** g - 1.0)
+    return np.where(p > p0, s, 0.0)
+
+
+def _time_smooth(gains: np.ndarray, alpha: float = 0.8) -> np.ndarray:
+    out = np.empty_like(gains)
+    prev = 1.0
+    for i, g in enumerate(gains):
+        prev = alpha * prev + (1 - alpha) * g
+        out[i] = prev
+    return out
+
+
+def _lp(x: np.ndarray, p: float, axis=None) -> np.ndarray:
+    return (np.mean(np.abs(x) ** p, axis=axis)) ** (1.0 / p)
+
+
+def pesq_wb_raw(ref: np.ndarray, deg: np.ndarray) -> float:
+    """Raw P.862 score (~ -0.5 .. 4.5) for 16 kHz mono float signals."""
+    ref = np.asarray(ref, np.float64)
+    deg = np.asarray(deg, np.float64)
+    ref = _input_filter(_level_align(ref))
+    deg = _input_filter(_level_align(deg))
+
+    delay = _crude_align(ref, deg)
+    if delay > 0:
+        deg = deg[delay:]
+    elif delay < 0:
+        ref = ref[-delay:]
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+
+    pr = _bark_powers(ref)  # [T, NB]
+    pd = _bark_powers(deg)
+    if pr.shape[0] == 0:
+        return 4.5
+    t_frames = pr.shape[0]
+
+    # silent-frame mask (both model stages only look at audible frames)
+    audible_r = pr.sum(axis=1)
+    active = audible_r > (audible_r.max() + 1e-20) * 1e-5
+
+    # partial FREQUENCY compensation: per-band average ratio (active
+    # frames), clipped to [0.01, 100], applied to the reference
+    num = (pd[active] + 1000.0).mean(axis=0)
+    den = (pr[active] + 1000.0).mean(axis=0)
+    band_pow_ratio = np.clip(num / den, 0.01, 100.0)
+    pr_eq = pr * band_pow_ratio[None, :]
+
+    # partial GAIN compensation: per-frame audible power ratio, clipped to
+    # [3e-4, 5], first-order smoothed, applied to the degraded signal
+    frame_ratio = (pr_eq.sum(axis=1) + 5e5) / (pd.sum(axis=1) + 5e5)
+    frame_ratio = _time_smooth(np.clip(frame_ratio, 3e-4, 5.0))
+    pd_eq = pd * frame_ratio[:, None]
+
+    lr = _loudness(pr_eq)
+    ld = _loudness(pd_eq)
+
+    # masked disturbance: a deadzone of 0.25*min absorbs inaudible error
+    d = ld - lr
+    m = 0.25 * np.minimum(ld, lr)
+    d = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+
+    w = _FB.width_z[None, :]
+    d_frame = _lp(d * w, 2.0, axis=1) * _NB ** (1.0 / 2.0)
+
+    # asymmetric disturbance: degraded-louder-than-reference errors
+    # (additive distortions) weigh more; ratio^1.2, <3 -> 0, cap 12
+    asym = ((pd_eq + 50.0) / (pr_eq + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    da_frame = np.abs(d * asym * w).sum(axis=1)
+
+    # per-frame weighting by reference loudness (quiet frames matter less)
+    h = ((pr.sum(axis=1) + 1e5) / 1e7) ** 0.04
+    d_frame = np.minimum(d_frame / h, 45.0)
+    da_frame = np.minimum(da_frame / h, 45.0)
+
+    # L6 within ~half-second intervals, L2 across intervals (P.862 10.5.1)
+    chunk = 20
+    pad = (-t_frames) % chunk
+    if pad:
+        d_frame = np.concatenate([d_frame, np.zeros(pad)])
+        da_frame = np.concatenate([da_frame, np.zeros(pad)])
+    d_chunks = _lp(d_frame.reshape(-1, chunk), 6.0, axis=1)
+    da_chunks = _lp(da_frame.reshape(-1, chunk), 6.0, axis=1)
+    d_total = _lp(d_chunks, 2.0)
+    da_total = _lp(da_chunks, 2.0)
+
+    return float(4.5 - _W_D * d_total - _W_DA * da_total)
+
+
+def pesq_wb(ref: np.ndarray, deg: np.ndarray, sample_rate: int = 16000) -> float:
+    """Wide-band PESQ MOS-LQO in [1.04, 4.64] (P.862.2 logistic mapping).
+
+    Inputs: 16 kHz float signals (resample first; eval/evaluation.py does).
+    """
+    if sample_rate != _FS:
+        raise ValueError(f"pesq_wb expects 16 kHz input, got {sample_rate}")
+    raw = pesq_wb_raw(ref, deg)
+    return float(0.999 + 4.0 / (1.0 + np.exp(_MAP_A * raw + _MAP_B)))

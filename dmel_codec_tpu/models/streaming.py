@@ -22,6 +22,19 @@ with dilations 2^(i%4) contribute sum(d_i) = 75 frames per side — plus
 the quantizer ConvNeXt blocks (k=7 at T/2 and T/4: 18 frames). The
 default halo of 128 frames (= 32 tokens) covers both paths with margin;
 tests/test_streaming.py asserts exact equality vs the one-shot API.
+
+`chunked_vocode` carries the same scheme through BigVGAN (the most
+memory-hungry stage: 256x upsampling through 108 activations — an hour
+of 24 kHz audio one-shot is a [B, 86M]-sample pass). The generator's
+receptive field was MEASURED by impulse perturbation at the flagship
+geometry (rates 4,4,2,2,2,2; resblock kernels 3/7/11, dilations 1/3/5;
+anti-alias FIRs k=12): +-26.3 mel frames. The default halo of 40 frames
+also covers the fused kernel's 16-sample exact-edges patch (<=4 frames
+at the stage-0 rate) with margin. Interior windows emit only the central
+chunk, so window-edge effects (replicate pads in nn/resample.py, the
+Pallas edge patch) never reach the emitted region; edge windows clamp to
+the true signal boundary where those edge effects are exactly the
+one-shot computation's own.
 """
 
 from __future__ import annotations
@@ -33,6 +46,9 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_HALO_FRAMES = 128
+# BigVGAN flagship receptive field is +-26.3 mel frames (measured; module
+# docstring); 40 adds margin for the fused kernel's exact-edges patch.
+DEFAULT_VOCODER_HALO_FRAMES = 40
 
 
 def chunked_encode(
@@ -138,4 +154,44 @@ def chunked_decode(
         off = (start - pos) * down
         n_frames = min(chunk_tokens, l - start) * down
         pieces.append(mel[:, off : off + n_frames])
+    return np.concatenate(pieces, axis=1)
+
+
+def chunked_vocode(
+    vocoder,
+    params,
+    mel: np.ndarray,
+    chunk_frames: int = 480,
+    halo_frames: int = DEFAULT_VOCODER_HALO_FRAMES,
+) -> np.ndarray:
+    """mel [B, T, M] (host) -> waveform [B, T*hop_total] (host), equal to
+    one-shot `BigVGAN.__call__` (module docstring: halo >= the measured
+    receptive field; edge windows clamp to the signal boundary). Device
+    memory is bounded by the window, not T: an hour of audio runs at the
+    footprint of ~chunk_frames + 2*halo frames."""
+    hop = vocoder.config.hop_total
+    b, t, _ = np.shape(mel)
+    mel = np.asarray(mel, np.float32)
+
+    window = chunk_frames + 2 * halo_frames
+    if t <= window:  # short input: one-shot
+        return np.asarray(
+            jax.jit(lambda p, x: vocoder.apply({"params": p}, x))(
+                params, jnp.asarray(mel)
+            )
+        )
+
+    @jax.jit
+    def vocode_window(params, mel_win):
+        return vocoder.apply({"params": params}, mel_win)
+
+    pieces = []
+    for start in range(0, t, chunk_frames):
+        pos = min(max(start - halo_frames, 0), t - window)
+        wav = np.asarray(
+            vocode_window(params, jnp.asarray(mel[:, pos : pos + window]))
+        )
+        off = (start - pos) * hop
+        n = min(chunk_frames, t - start) * hop
+        pieces.append(wav[:, off : off + n])
     return np.concatenate(pieces, axis=1)

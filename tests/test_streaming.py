@@ -88,3 +88,38 @@ def test_chunked_decode_exact(rng):
     )
     assert got.shape == np.asarray(want).shape
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_vocode_exact(rng):
+    """chunked_vocode == one-shot BigVGAN at flagship geometry (narrow
+    channels — the receptive field depends on kernels/rates only)."""
+    from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from dmel_codec_tpu.models.streaming import chunked_vocode
+
+    cfg = BigVGANConfig(num_mels=8, upsample_initial_channel=64)
+    voc = BigVGAN(cfg)
+    t = 300  # not a chunk multiple: exercises the tail path
+    mel = np.asarray(rng.standard_normal((2, t, 8)), np.float32)
+    params = voc.init(jax.random.PRNGKey(0), jnp.asarray(mel))["params"]
+
+    want = np.asarray(jax.jit(lambda p, x: voc.apply({"params": p}, x))(
+        params, jnp.asarray(mel)
+    ))
+    got = chunked_vocode(voc, params, mel, chunk_frames=96, halo_frames=40)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_vocode_short_input_one_shot(rng):
+    from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from dmel_codec_tpu.models.streaming import chunked_vocode
+
+    cfg = BigVGANConfig(num_mels=8, upsample_initial_channel=64)
+    voc = BigVGAN(cfg)
+    mel = np.asarray(rng.standard_normal((1, 64, 8)), np.float32)
+    params = voc.init(jax.random.PRNGKey(0), jnp.asarray(mel))["params"]
+    want = np.asarray(jax.jit(lambda p, x: voc.apply({"params": p}, x))(
+        params, jnp.asarray(mel)
+    ))
+    got = chunked_vocode(voc, params, mel, chunk_frames=96, halo_frames=40)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

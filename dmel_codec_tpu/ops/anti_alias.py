@@ -343,7 +343,15 @@ def fused_anti_alias_activation(
         inv_b = 1.0 / (bval + _SNAKE_EPS)
 
     itemsize = jnp.dtype(x.dtype).itemsize
-    if c >= 128:
+    force = __import__("os").environ.get("DMEL_AA_FORCE", "")
+    if force == "kernel" and _pick_tile(t, c if c >= 128 else b * c, itemsize):
+        if c >= 128:
+            y = _run_padded(x, a, inv_b, interpret)
+        else:
+            xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
+            ym = _run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), interpret)
+            y = ym.reshape(t, b, c).transpose(1, 0, 2)
+    elif force == "composite" or c >= 128:
         # XLA's depthwise FIRs are near bandwidth-bound at full lane
         # occupancy; with the polynomial snake this beats the Pallas
         # kernel (measured per-activation, see _fast_composite docstring)

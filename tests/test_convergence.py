@@ -8,9 +8,18 @@ from dmel_codec_tpu.models.codec import DMelCodecConfig
 from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
 
 
-def test_codec_gan_overfits_single_batch(rng):
+import pytest
+
+
+@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
+def test_codec_gan_overfits_single_batch(rng, compute_dtype):
+    # bf16 row: mixed precision (bf16 compute, f32 master params) must not
+    # break the learning signal (VERDICT r2 #6)
     cfg = DMelCodecConfig(
-        encoder_residual_channels=12, encoder_layers=2, decoder_layers=2
+        encoder_residual_channels=12,
+        encoder_layers=2,
+        decoder_layers=2,
+        compute_dtype=compute_dtype,
     )
     trainer = CodecTrainer(
         cfg,

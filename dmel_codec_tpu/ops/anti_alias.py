@@ -17,25 +17,41 @@ with f = kaiser_sinc(0.5/2, 0.6/2, 12) and the reference's exact padding
   y[t]    = sum_{i=0..5} f[2i+1] * v_even[t+i-2]
           + sum_{i=0..5} f[2i]   * v_odd [t+i-3]
 
-so each output tile [TT] needs input halo x[t0-6 .. t0+TT+5] — the same
-+-6-tap halo the CUDA kernel keeps in its shared-memory buffer.
+so each output tile [TT] needs input halo x[t0-6 .. t0+TT+5].
 
 MXU formulation: the four 6-tap FIRs are compile-time-constant BANDED
-matrices, applied to 256-row blocks as [256, 272] x [272, C] matmuls
-(block-banded Toeplitz). The ~22x FLOP overhead of the dense band is far
+matrices, applied to 112-row blocks as [112, 128] x [128, L] matmuls
+(block-banded Toeplitz). The FLOP overhead of the dense band is far
 cheaper than per-tap VPU shift+FMA passes: the systolic array runs them at
->100 TFLOP/s while the roll-based formulation was VPU-issue-bound (honest
-timing: 4-7 ms per activation at vocoder stages vs <2 ms memory-bound).
-Only the snake itself (sin, multiply-add) runs on the VPU.
+>100 TFLOP/s while a roll-based formulation is VPU-issue-bound. Only the
+snake itself (polynomial sin, multiply-add) runs on the VPU.
 
-Layout: time on sublanes, channels on the 128-wide lanes. For C < 128 the
-batch is merged into the lane dimension ([B, T, C] -> [T, B*C]): one kernel
-serves every vocoder stage at full lane occupancy (the [B*C] lane vector of
-per-channel alpha/beta is just jnp.tile(alpha, B)).
+HBM traffic (vs what the round-2 kernel still paid):
+  * no `jnp.pad` before the kernel — each grid cell DMAs a clamped window
+    straight out of the unpadded input and replicates the edge rows inside
+    VMEM (an XLA pad is a full extra HBM round trip, which alone exceeds
+    this op's entire memory bound);
+  * outputs leave through async DMAs from a double-buffered VMEM tile, so
+    the store overlaps the next tile's compute;
+  * C < 128 inputs are merged into the lanes as [B, T, C] -> [1, T, B*C]
+    by an XLA transpose each way. TPU HBM tensors are (sublane, 128-lane)
+    tiled, so a C < 128 array is physically lane-padded — the transpose
+    pays one relayout but every byte the kernel then moves is real.
+    (Mosaic rejects DMA windows whose lane slices are not 128-aligned, so
+    the merge cannot be done with per-batch DMAs.)
 
-Grid: (batch, time-tiles). The input stays in HBM and each cell DMAs its
-haloed slice into a VMEM scratch (overlapping reads cannot be expressed as
-BlockSpecs).
+Edge exactness: the reference replicate-pads the *upsampled* signal before
+the downsample FIR (resample.py DownSample1d, pad 5/6). In polyphase terms
+that sets v_e[-1..-2] = v_o[-1..-3] = v_e[0] at the head and
+v_e[T..T+2] = v_o[T..T+2] = v_o[T-1] at the tail — six row writes on the
+in-VMEM snake buffers of the first/last tile. The kernel applies them
+directly, so its output is bit-for-bit the reference semantics at the
+edges too (the round-2 kernel needed a post-hoc 3-frame patch that cost
+two full-tensor dynamic-update-slices per activation).
+
+Layout: time on sublanes, channels on the 128-wide lanes. Grid:
+(batch, time-tiles); for merged small-C stages the batch axis collapses
+into the lanes and the grid is (1, time-tiles).
 
 The public op is differentiable: forward = this kernel, backward = VJP of
 the unfused composite (the CUDA original simply raises on backward).
@@ -43,6 +59,7 @@ the unfused composite (the CUDA original simply raises on backward).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -62,11 +79,8 @@ _SNAKE_EPS = 1e-9
 
 _HALO = 16  # input halo per side: >= 6 taps, sublane-aligned for f32 + bf16
 # FIR block rows (matmul M dim). 112 makes the contraction width _KW
-# exactly one 128-lane MXU tile: the band matrix's lane dim pads to the
-# next 128 multiple, so _KW=128 wastes nothing where the original
-# _BLK=256 (_KW=272 -> padded 384) burned 3x the FLOPs per element
-# (8*_KW_padded FLOP/elem across up+down). Env knob for A/B experiments.
-_BLK = int(__import__("os").environ.get("DMEL_AA_BLK", "112"))
+# exactly one 128-lane MXU tile. Env knob for A/B experiments.
+_BLK = int(os.environ.get("DMEL_AA_BLK", "112"))
 _KW = _BLK + 16  # block + 6-tap reach each side, sublane-aligned
 
 
@@ -100,9 +114,9 @@ def _fast_sin(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _band_matrices() -> np.ndarray:
-    """[4, 256, 272] f32: up-even, up-odd, down-even, down-odd bands.
+    """[4, _BLK, _KW] f32: up-even, up-odd, down-even, down-odd bands.
 
-    Row m of each matrix produces one output sample from the 272-sample
+    Row m of each matrix produces one output sample from the _KW-sample
     input window; the 6 taps sit on a diagonal band (see the phase
     equations in the module docstring; offsets derived so that an input
     window starting 8 rows before the block covers every tap in-bounds).
@@ -121,148 +135,259 @@ def _band_matrices() -> np.ndarray:
 
 
 _BANDS = _band_matrices()
-# Up-even stacked on up-odd [512, 272]: one MXU op produces both phases of
-# a 256-row block, and the snake then runs once over the [512, C] result.
+# Up-even stacked on up-odd [2*_BLK, _KW]: one MXU op produces both phases
+# of a block, and the snake then runs once over the stacked result.
 _UP_STACK = np.concatenate([_BANDS[0], _BANDS[1]], axis=0)
 
 
-def _vmem_footprint(tile: int, channels: int, itemsize: int) -> int:
-    """Bytes of VMEM the kernel needs at a given tile: double-buffered
-    input scratch 2x(tile+2*_HALO), the two snake buffers (tile+16), the
-    Mosaic-double-buffered output (2x tile) and the band matrices."""
-    c = max(channels, 128)
-    rows = 2 * (tile + 2 * _HALO) + 2 * (tile + 2 * (_HALO - 8)) + 2 * tile
-    return rows * c * itemsize + 4 * _BLK * _KW * itemsize
-
-
-def _pick_tile(t: int, channels: int, itemsize: int) -> Optional[int]:
-    """Time-tile length (multiple of _BLK) whose full buffer set fits
-    comfortably under the 16 MiB VMEM budget; None when even the minimum
+def _plan_tile(t: int, lanes: int, itemsize: int) -> Optional[int]:
+    """Time-tile length (multiple of _BLK) whose full buffer set —
+    double-buffered input scratch 2x(tile+32), snake buffers 2x(tile+16),
+    double-buffered output 2x(tile) and the band matrices — fits under the
+    VMEM budget. Multi-tile plans additionally need the last tile's
+    remainder to be 0 or >= _HALO so every DMA window stays expressible
+    with static in-VMEM offsets (see _kernel). None when even the minimum
     tile does not fit (very wide merged-lane inputs) — callers fall back
-    to the unfused composite. The tile never exceeds t rounded up to a
-    block (short inputs would otherwise compute thousands of edge-padded
-    tail rows)."""
-    for mult in (18, 9, 4, 2, 1):
-        tile = mult * _BLK
-        if _vmem_footprint(tile, channels, itemsize) <= (12 << 20):
-            break
-    else:
+    to the unfused composite."""
+    budget = 12 << 20
+
+    def fits(tile: int) -> bool:
+        return ((6 * tile + 6 * _HALO) * lanes + 4 * _BLK * _KW) * itemsize <= budget
+
+    mults = [m for m in (18, 12, 9, 6, 4, 3, 2, 1) if fits(m * _BLK)]
+    if not mults:
         return None
-    t_cap = max(_BLK, ((t + _BLK - 1) // _BLK) * _BLK)
-    return min(tile, t_cap)
+    t_cap = ((t + _BLK - 1) // _BLK) * _BLK
+    if t_cap <= mults[0] * _BLK:
+        return t_cap  # one tile covers the whole signal
+    for m in mults:
+        tile = m * _BLK
+        r = t % tile
+        if r == 0 or r >= _HALO:
+            return tile
+    return None
 
 
 def _kernel(
     x_hbm, up_ref, dn_e_ref, dn_o_ref, alpha_ref, beta_ref, out_ref,
-    scratch, v_e, v_o, sem, *, tile: int
+    scratch, v_e, v_o, y_buf, in_sem, out_sem,
+    *, tile: int, t: int, nt: int,
 ):
-    b = pl.program_id(0)
+    bg = pl.program_id(0)
     i = pl.program_id(1)
-    nt = pl.num_programs(1)
-    g = b * nt + i  # flat grid step (cells run sequentially on the core)
+    g = bg * nt + i
+    ncells = x_hbm.shape[0] * nt  # static
     slot = jax.lax.rem(g, 2)
+    lanes = scratch.shape[-1]
+    single = nt == 1  # static
 
-    # Double-buffered input DMA: tile g+1 streams into the other slot
-    # while tile g computes (the r2 kernel's serial start();wait() left
-    # the MXU idle for the whole HBM fetch — VERDICT r2 #1c).
-    def _dma(dst_slot, bb, ii):
+    # ---- input DMA variants (full 128-aligned lane extent; the head/last
+    # tiles copy a shorter row range and the edge rows are replicated in
+    # VMEM — an XLA `jnp.pad` would be a full extra HBM round trip).
+    # scratch row r of a tile with output start o holds time o - _HALO + r.
+    def _in_copy(sl, bb, src_lo, rows, dst_lo):
         return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(ii * tile, tile + 2 * _HALO), :],
-            scratch.at[dst_slot],
-            sem.at[dst_slot],
+            x_hbm.at[bb, pl.ds(src_lo, rows), :],
+            scratch.at[sl, pl.ds(dst_lo, rows), :],
+            in_sem.at[sl],
         )
+
+    def in_single(sl, bb):
+        return _in_copy(sl, bb, 0, t, _HALO)
+
+    def in_head(sl, bb):
+        return _in_copy(sl, bb, 0, tile + _HALO, _HALO)
+
+    def in_mid(sl, bb, ii):
+        return _in_copy(sl, bb, ii * tile - _HALO, tile + 2 * _HALO, 0)
+
+    def in_last(sl, bb):
+        return _in_copy(sl, bb, t - (tile + _HALO), tile + _HALO, 0)
+
+    def start_in(sl, bb, ii):
+        if single:
+            in_single(sl, bb).start()
+            return
+
+        @pl.when(ii == 0)
+        def _():
+            in_head(sl, bb).start()
+
+        @pl.when(jnp.logical_and(ii > 0, ii < nt - 1))
+        def _():
+            in_mid(sl, bb, ii).start()
+
+        @pl.when(ii == nt - 1)
+        def _():
+            in_last(sl, bb).start()
 
     @pl.when(g == 0)
     def _():
-        _dma(0, b, i).start()
+        start_in(slot, bg, i)
 
-    @pl.when(g + 1 < pl.num_programs(0) * nt)
+    @pl.when(g + 1 < ncells)
     def _():
-        nxt_wraps = i + 1 == nt
-        b2 = jnp.where(nxt_wraps, b + 1, b)
-        i2 = jnp.where(nxt_wraps, 0, i + 1)
-        _dma(1 - slot, b2, i2).start()
+        wraps = i + 1 == nt
+        b2 = jnp.where(wraps, bg + 1, bg)
+        i2 = jnp.where(wraps, 0, i + 1)
+        start_in(1 - slot, b2, i2)
 
-    _dma(slot, b, i).wait()
-    cur = scratch.at[slot]
+    # wait own input (variant must match the started copy's byte count)
+    if single:
+        in_single(slot, bg).wait()
+    else:
 
+        @pl.when(i == 0)
+        def _():
+            in_head(slot, bg).wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < nt - 1))
+        def _():
+            in_mid(slot, bg, i).wait()
+
+        @pl.when(i == nt - 1)
+        def _():
+            in_last(slot, bg).wait()
+
+    # ---- in-VMEM replicate fills (the jnp.pad the kernel no longer pays)
+    @pl.when(i == 0)
+    def _():
+        row = scratch[slot, _HALO, :]
+        scratch[slot, pl.ds(0, _HALO), :] = jnp.broadcast_to(row, (_HALO, lanes))
+
+    if single:
+        # tail rows [16+t, tile+32) <- time t-1
+        fill = tile + 2 * _HALO - (_HALO + t)
+        if fill > 0:
+            row = scratch[slot, _HALO + t - 1, :]
+            scratch[slot, pl.ds(_HALO + t, fill), :] = jnp.broadcast_to(
+                row, (fill, lanes)
+            )
+    else:
+
+        @pl.when(i == nt - 1)
+        def _():
+            row = scratch[slot, tile + _HALO - 1, :]
+            scratch[slot, pl.ds(tile + _HALO, _HALO), :] = jnp.broadcast_to(
+                row, (_HALO, lanes)
+            )
+
+    # ---- upsample FIR + snake ----
     m_up = up_ref[0]
-    d_e = dn_e_ref[0]
-    d_o = dn_o_ref[0]
     alpha = alpha_ref[0, :].astype(jnp.float32)
     inv_beta = beta_ref[0, :].astype(jnp.float32)
+    cur = scratch.at[slot]
 
-    # Upsample phases + snake over rows [8, 8 + tile + 16) (covers the
-    # +-3-row reach of the downsample FIR around the output window); the
-    # last block is pulled back to stay in-bounds (overlap recompute).
-    # One [512, 272] x [272, C] MXU op yields both polyphases; the snake
-    # runs once over the stacked [512, C] block.
+    # HIGHEST keeps f32 inputs exact on the MXU (default precision runs
+    # f32 matmuls as single-pass bf16 — a ~4e-3 relative error the
+    # interpret-mode tests cannot see); bf16 inputs are unaffected.
+    _prec = jax.lax.Precision.HIGHEST
+
     u_rows = tile + 2 * (_HALO - 8)
     n_up = (u_rows + _BLK - 1) // _BLK
     for j in range(n_up):
         s = min(8 + j * _BLK, 8 + u_rows - _BLK)
         xin = cur[pl.ds(s - 8, _KW), :]
-        u = jnp.dot(m_up, xin, preferred_element_type=jnp.float32)
+        u = jnp.dot(m_up, xin, preferred_element_type=jnp.float32, precision=_prec)
         sn = _fast_sin(u * alpha)
         v = u + inv_beta * sn * sn
         v_e[pl.ds(s - 8, _BLK), :] = v[:_BLK].astype(v_e.dtype)
         v_o[pl.ds(s - 8, _BLK), :] = v[_BLK:].astype(v_o.dtype)
 
-    # Downsample FIR: output rows [_HALO + j*_BLK, ...), v stored with an
-    # 8-row offset so each block reads v[j*_BLK : j*_BLK + _KW].
+    # ---- reference-exact edges: DownSample1d pads the post-snake signal
+    # (5 left / 6 right, replicate). v buffer row k holds time o - 8 + k.
+    @pl.when(i == 0)
+    def _():
+        row = v_e[8, :]
+        v_e[pl.ds(6, 2), :] = jnp.broadcast_to(row, (2, lanes))
+        v_o[pl.ds(5, 3), :] = jnp.broadcast_to(row, (3, lanes))
+
+    k0 = t + 8 if single else tile + 8  # static: v row of time t
+
+    @pl.when(i == nt - 1)
+    def _():
+        row = v_o[k0 - 1, :]
+        v_e[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
+        v_o[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
+
+    # ---- output slot reuse guard + downsample FIR ----
+    o = 0 if single else jnp.where(i == nt - 1, t - tile, i * tile)
+    out_rows = t if single else tile
+
+    def _out_copy(sl, bb, oo):
+        return pltpu.make_async_copy(
+            y_buf.at[sl, pl.ds(0, out_rows), :],
+            out_ref.at[bb, pl.ds(oo, out_rows), :],
+            out_sem.at[sl],
+        )
+
+    if ncells > 2:  # wait the copy that used this slot two cells ago
+
+        @pl.when(g >= 2)
+        def _():
+            _out_copy(slot, bg, o).wait()
+
+    d_e = dn_e_ref[0]
+    d_o = dn_o_ref[0]
     for j in range(tile // _BLK):
         ve = v_e[pl.ds(j * _BLK, _KW), :]
         vo = v_o[pl.ds(j * _BLK, _KW), :]
-        y = jnp.dot(d_e, ve, preferred_element_type=jnp.float32) + jnp.dot(
-            d_o, vo, preferred_element_type=jnp.float32
-        )
-        out_ref[0, pl.ds(j * _BLK, _BLK), :] = y.astype(out_ref.dtype)
+        y = jnp.dot(
+            d_e, ve, preferred_element_type=jnp.float32, precision=_prec
+        ) + jnp.dot(d_o, vo, preferred_element_type=jnp.float32, precision=_prec)
+        y_buf[slot, pl.ds(j * _BLK, _BLK), :] = y.astype(y_buf.dtype)
+
+    _out_copy(slot, bg, o).start()
+
+    @pl.when(g == ncells - 1)
+    def _():
+        _out_copy(slot, bg, o).wait()
+        if ncells >= 2:
+            _out_copy(1 - slot, bg, o).wait()
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _fused_forward(
     x: jnp.ndarray,
-    alpha: jnp.ndarray,
-    inv_beta: jnp.ndarray,
+    a_l: jnp.ndarray,
+    invb_l: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    b, t, c = x.shape
-    tile = _pick_tile(t, c, jnp.dtype(x.dtype).itemsize)
+    """x: [B, T, L] with L a multiple of 128 (the caller merges/pads)."""
+    b, t, lanes = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    tile = _plan_tile(t, lanes, itemsize)
     assert tile is not None, "dispatch guarantees a VMEM-feasible tile"
-    n_tiles = pl.cdiv(t, tile)
+    nt = 1 if tile >= t else pl.cdiv(t, tile)
 
-    # Replicate-pad the halo; extend the tail so every tile's DMA is in
-    # bounds (tail values land in clipped output rows only).
-    pad_tail = n_tiles * tile - t + _HALO
-    xp = jnp.pad(x, ((0, 0), (_HALO, pad_tail), (0, 0)), mode="edge")
     up = jnp.asarray(_UP_STACK, x.dtype)[None]
     dn_e = jnp.asarray(_BANDS[2], x.dtype)[None]
     dn_o = jnp.asarray(_BANDS[3], x.dtype)[None]
 
     const = lambda b_, i_: (0, 0, 0)
     return pl.pallas_call(
-        partial(_kernel, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        grid=(b, n_tiles),
+        partial(_kernel, tile=tile, t=t, nt=nt),
+        out_shape=jax.ShapeDtypeStruct((b, t, lanes), x.dtype),
+        grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, 2 * _BLK, _KW), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLK, _KW), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLK, _KW), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile, c), lambda b_, i_: (b_, i_, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * _HALO, c), x.dtype),
-            pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
-            pltpu.VMEM((tile + 2 * (_HALO - 8), c), x.dtype),
+            pltpu.VMEM((2, tile + 2 * _HALO, lanes), x.dtype),
+            pltpu.VMEM((tile + 2 * (_HALO - 8), lanes), x.dtype),
+            pltpu.VMEM((tile + 2 * (_HALO - 8), lanes), x.dtype),
+            pltpu.VMEM((2, tile, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, up, dn_e, dn_o, alpha[None, :], inv_beta[None, :])
+    )(x, up, dn_e, dn_o, a_l, invb_l)
 
 
 def anti_alias_activation_reference(
@@ -284,30 +409,16 @@ def anti_alias_activation_reference(
 def _fast_composite(x: jnp.ndarray, a: jnp.ndarray, inv_b: jnp.ndarray):
     """XLA up-FIR -> polynomial snake -> down-FIR.
 
-    For C >= 128 XLA's depthwise resampling convs are already near their
-    bandwidth bound on TPU (honest timing: 0.5 ms at [16,1500,768] with
-    the polynomial snake, vs 2.2 ms for the Pallas matmul kernel); the
-    exact-sin snake was what made the composite slow. For C < 128 the
-    depthwise convs collapse to poor utilisation and the Pallas kernel
-    wins — see the dispatch in fused_anti_alias_activation."""
+    Fallback for inputs whose minimum kernel tile exceeds VMEM (very wide
+    merged-lane widths) and for DMEL_AA_FORCE=composite A/B runs. Exact at
+    the edges by construction (it IS the reference op chain, with the
+    polynomial sin)."""
     filt = jnp.asarray(_FILT, x.dtype)
     u = upsample1d(x, filt, 2, _KS)
     uf = u.astype(jnp.float32)
     s = _fast_sin(uf * a.astype(jnp.float32))
     v = (uf + inv_b.astype(jnp.float32) * s * s).astype(x.dtype)
     return downsample1d(v, filt, 2, _KS)
-
-
-def _run_padded(x, a, inv_b, interpret):
-    """Pad channels to a 128-lane multiple and run the kernel."""
-    c = x.shape[-1]
-    c_pad = (-c) % 128 if not interpret else 0
-    if c_pad:
-        xw = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad)))
-        aw = jnp.pad(a, (0, c_pad))
-        bw = jnp.pad(inv_b, (0, c_pad))
-        return _fused_forward(xw, aw, bw, interpret=interpret)[..., :c]
-    return _fused_forward(x, a, inv_b, interpret=interpret)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -321,16 +432,12 @@ def fused_anti_alias_activation(
 ) -> jnp.ndarray:
     """[B, T, C] -> [B, T, C]. beta=None selects plain snake (1/alpha gain).
 
-    Interior frames come from the fused kernel. With `exact_edges`, the
-    outermost 3 frames per side are recomputed with the unfused oracle on a
-    16-frame edge slice: the reference replicate-pads the *upsampled*
-    signal before the downsample FIR (resample.py DownSample1d), which the
-    polyphase kernel's input-side replication cannot reproduce — 3 frames
-    each side is exactly the reach of the 5/6-tap downsample padding.
-    `exact_edges=False` skips the patch (the kernel's input-side
-    replication differs only in those 6 boundary samples per activation —
-    sub-sample-scale for serving) and saves ~4 convs per instance in both
-    compile time and runtime.
+    The kernel reproduces the reference semantics exactly, including the
+    replicate-padded edges (see module docstring) — `exact_edges` is kept
+    for API compatibility but no longer selects anything: every path is
+    edge-exact. Dispatch: the Pallas kernel for every channel count
+    (C < 128 runs lane-merged across the batch); the XLA composite only
+    when the merged lane width exceeds VMEM or DMEL_AA_FORCE=composite.
     """
     b, t, c = x.shape
     if t < 32:
@@ -342,40 +449,32 @@ def fused_anti_alias_activation(
         bval = jnp.exp(beta) if logscale else beta
         inv_b = 1.0 / (bval + _SNAKE_EPS)
 
+    merge = c < 128 and b > 1
+    raw = c * b if merge else c
+    lanes = -(-raw // 128) * 128
     itemsize = jnp.dtype(x.dtype).itemsize
-    force = __import__("os").environ.get("DMEL_AA_FORCE", "")
-    if force == "kernel" and _pick_tile(t, c if c >= 128 else b * c, itemsize):
-        if c >= 128:
-            y = _run_padded(x, a, inv_b, interpret)
-        else:
-            xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
-            ym = _run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), interpret)
-            y = ym.reshape(t, b, c).transpose(1, 0, 2)
-    elif force == "composite" or c >= 128:
-        # XLA's depthwise FIRs are near bandwidth-bound at full lane
-        # occupancy; with the polynomial snake this beats the Pallas
-        # kernel (measured per-activation, see _fast_composite docstring)
-        y = _fast_composite(x, a, inv_b)
-    elif b > 1 and _pick_tile(t, b * c, itemsize) is not None:
-        # Merge batch into lanes: [B, T, C] -> [T, B*C] so the small-C
-        # vocoder stages still fill the 128-wide lane dimension (each lane
-        # keeps its own alpha/beta via jnp.tile). XLA's depthwise conv at
-        # small C (or at B=1 with long T) runs far below this kernel.
-        xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
-        ym = _run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), interpret)
-        y = ym.reshape(t, b, c).transpose(1, 0, 2)
-    elif b == 1 and _pick_tile(t, c, itemsize) is not None:
-        y = _run_padded(x, a, inv_b, interpret)
-    else:
-        # merged lane width too wide for VMEM (huge B*C) — unfused
-        # composite rather than a failed compile (ADVICE r2 #1)
-        y = _fast_composite(x, a, inv_b)
+    force = os.environ.get("DMEL_AA_FORCE", "")
+    tile = _plan_tile(t, lanes, itemsize)
+    if force == "composite" or tile is None:
+        return _fast_composite(x, a, inv_b)
 
-    if exact_edges:
-        head = anti_alias_activation_reference(x[:, :16, :], alpha, beta, logscale)
-        tail = anti_alias_activation_reference(x[:, -16:, :], alpha, beta, logscale)
-        y = y.at[:, :3, :].set(head[:, :3, :].astype(y.dtype))
-        y = y.at[:, -3:, :].set(tail[:, -3:, :].astype(y.dtype))
+    if merge:
+        # [B, T, C] -> [1, T, B*C]: HBM tensors are 128-lane tiled, so the
+        # merged layout is the only one whose DMAs (and physical bytes)
+        # aren't lane-padded; the relayout is one XLA transpose each way.
+        xk = x.transpose(1, 0, 2).reshape(1, t, raw)
+        a_v, ib_v = jnp.tile(a, b), jnp.tile(inv_b, b)
+    else:
+        xk, a_v, ib_v = x, a, inv_b
+    if lanes > raw:  # tests / odd widths: pad lanes (1s keep garbage finite)
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, lanes - raw)))
+        a_v = jnp.pad(a_v, (0, lanes - raw), constant_values=1.0)
+        ib_v = jnp.pad(ib_v, (0, lanes - raw), constant_values=1.0)
+    y = _fused_forward(xk, a_v[None], ib_v[None], interpret)
+    if lanes > raw:
+        y = y[..., :raw]
+    if merge:
+        y = y.reshape(t, b, c).transpose(1, 0, 2)
     return y
 
 

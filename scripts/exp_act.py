@@ -1,8 +1,7 @@
 """Kernel-variant A/B for the fused anti-alias activation (dev tool).
 
-Times, per vocoder stage shape: the XLA composite, the Pallas kernel
-forced (large-C direct; small-C via batch-merged lanes), honestly via the
-chained fori_loop harness.
+Times, per vocoder stage shape: the XLA composite vs the Pallas kernel
+(the default dispatch), honestly via the chained fori_loop harness.
 
     python scripts/exp_act.py
 """
@@ -33,12 +32,9 @@ SHAPES = [
 
 
 def force_kernel(x, a, inv_b):
-    b, t, c = x.shape
-    if c >= 128:
-        return A._run_padded(x, a, inv_b, False)
-    xm = x.transpose(1, 0, 2).reshape(1, t, b * c)
-    ym = A._run_padded(xm, jnp.tile(a, b), jnp.tile(inv_b, b), False)
-    return ym.reshape(t, b, c).transpose(1, 0, 2)
+    # default dispatch IS the kernel now (in-kernel merge, no transposes);
+    # alpha/beta given in linear scale, beta = 1/inv_b
+    return A.fused_anti_alias_activation(x, a, 1.0 / inv_b, False)
 
 
 def main() -> None:

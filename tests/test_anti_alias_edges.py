@@ -1,4 +1,11 @@
-"""exact_edges=False: interior identical to the oracle, edges approximate."""
+"""Boundary semantics: the kernel is reference-exact at the edges.
+
+The reference replicate-pads the *upsampled* signal before the downsample
+FIR (bigvgan/alias_free_activation/torch/resample.py DownSample1d); the
+kernel reproduces that via in-VMEM row writes on the first/last tile, so
+no post-hoc patch exists and `exact_edges` is a no-op — the first/last 3
+frames must match the oracle exactly on every dispatch path.
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -9,15 +16,22 @@ from dmel_codec_tpu.ops.anti_alias import (
 )
 
 
-def test_inexact_edges_interior_still_matches(rng):
+def test_edges_exact_on_all_paths(rng):
     x = jnp.asarray(rng.standard_normal((1, 128, 16)).astype(np.float32))
     alpha = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.3)
     beta = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.3)
     want = anti_alias_activation_reference(x, alpha, beta, True)
-    got = fused_anti_alias_activation(x, alpha, beta, True, True, False)
-    np.testing.assert_allclose(
-        np.asarray(got[:, 3:-3]), np.asarray(want[:, 3:-3]), atol=1e-5
-    )
-    # boundary rows deviate only at numerical-noise-to-small scale
-    edge_err = float(jnp.abs(got[:, :3] - want[:, :3]).max())
-    assert edge_err < 0.5
+    for exact_edges in (True, False):  # flag is accepted but changes nothing
+        got = fused_anti_alias_activation(x, alpha, beta, True, True, exact_edges)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_edges_exact_multi_tile_merged(rng):
+    """A long-T merged-lane input exercises the head/interior/last DMA
+    branches and both in-kernel edge fixups."""
+    x = jnp.asarray(rng.standard_normal((3, 400, 24)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.3)
+    want = anti_alias_activation_reference(x, alpha, beta, True)
+    got = fused_anti_alias_activation(x, alpha, beta, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -58,8 +58,9 @@ class BigVGANConfig:
     use_tanh_at_final: bool = False
     use_pallas_kernel: bool = False
     # exact 3-frame boundary handling in the fused kernel (bit-parity with
-    # the reference); False trades sub-sample boundary exactness for less
-    # compile time + throughput in serving
+    # kept for config compatibility: the kernel now reproduces the
+    # reference's replicate-padded edges in-kernel on every path, so this
+    # flag no longer selects anything (ops/anti_alias.py)
     pallas_exact_edges: bool = True
 
     @property

@@ -199,7 +199,12 @@ def _kernel(
         return _in_copy(sl, bb, 0, tile + _HALO, _HALO)
 
     def in_mid(sl, bb, ii):
-        return _in_copy(sl, bb, ii * tile - _HALO, tile + 2 * _HALO, 0)
+        # Mosaic must PROVE dynamic row starts divisible by the sublane
+        # tiling; ii*tile - 16 is a multiple of 16 (tile is a multiple of
+        # _BLK = 112 = 16*7) but the prover can't see through program-id
+        # arithmetic — assert it.
+        lo = pl.multiple_of(ii * tile - _HALO, _HALO)
+        return _in_copy(sl, bb, lo, tile + 2 * _HALO, 0)
 
     def in_last(sl, bb):
         return _in_copy(sl, bb, t - (tile + _HALO), tile + _HALO, 0)
@@ -280,8 +285,13 @@ def _kernel(
 
     # HIGHEST keeps f32 inputs exact on the MXU (default precision runs
     # f32 matmuls as single-pass bf16 — a ~4e-3 relative error the
-    # interpret-mode tests cannot see); bf16 inputs are unaffected.
-    _prec = jax.lax.Precision.HIGHEST
+    # interpret-mode tests cannot see). bf16 inputs must use DEFAULT:
+    # Mosaic rejects fp32 contract precision on bf16 operands.
+    _prec = (
+        jax.lax.Precision.HIGHEST
+        if scratch.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     u_rows = tile + 2 * (_HALO - 8)
     n_up = (u_rows + _BLK - 1) // _BLK
@@ -311,7 +321,12 @@ def _kernel(
         v_o[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
 
     # ---- output slot reuse guard + downsample FIR ----
-    o = 0 if single else jnp.where(i == nt - 1, t - tile, i * tile)
+    if single:
+        o = 0
+    else:
+        o = pl.multiple_of(
+            jnp.where(i == nt - 1, t - tile, i * tile), _HALO
+        )
     out_rows = t if single else tile
 
     def _out_copy(sl, bb, oo):
@@ -353,12 +368,18 @@ def _fused_forward(
     invb_l: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """x: [B, T, L] with L a multiple of 128 (the caller merges/pads)."""
+    """x: [B, T, L] with L a multiple of 128 (the caller merges/pads).
+
+    Every DMA row start must sit on the HBM sublane tiling, so the kernel
+    covers only the 16-aligned prefix t_k = T - T % 16; output rows
+    [t_k, T) are left unwritten and the caller patches the tail (the
+    halo makes rows >= t_k - 6 depend on the untouched tail samples)."""
     b, t, lanes = x.shape
+    tk = t - t % _HALO
     itemsize = jnp.dtype(x.dtype).itemsize
-    tile = _plan_tile(t, lanes, itemsize)
+    tile = _plan_tile(tk, lanes, itemsize)
     assert tile is not None, "dispatch guarantees a VMEM-feasible tile"
-    nt = 1 if tile >= t else pl.cdiv(t, tile)
+    nt = 1 if tile >= tk else pl.cdiv(tk, tile)
 
     up = jnp.asarray(_UP_STACK, x.dtype)[None]
     dn_e = jnp.asarray(_BANDS[2], x.dtype)[None]
@@ -366,7 +387,7 @@ def _fused_forward(
 
     const = lambda b_, i_: (0, 0, 0)
     return pl.pallas_call(
-        partial(_kernel, tile=tile, t=t, nt=nt),
+        partial(_kernel, tile=tile, t=tk, nt=nt),
         out_shape=jax.ShapeDtypeStruct((b, t, lanes), x.dtype),
         grid=(b, nt),
         in_specs=[
@@ -454,7 +475,8 @@ def fused_anti_alias_activation(
     lanes = -(-raw // 128) * 128
     itemsize = jnp.dtype(x.dtype).itemsize
     force = os.environ.get("DMEL_AA_FORCE", "")
-    tile = _plan_tile(t, lanes, itemsize)
+    e = t % _HALO  # tail rows beyond the 16-aligned kernel prefix
+    tile = _plan_tile(t - e, lanes, itemsize)
     if force == "composite" or tile is None:
         return _fast_composite(x, a, inv_b)
 
@@ -475,6 +497,17 @@ def fused_anti_alias_activation(
         y = y[..., :raw]
     if merge:
         y = y.reshape(t, b, c).transpose(1, 0, 2)
+    if e:
+        # ragged tail: the kernel covered [0, t-e) with replicate padding
+        # at t-e; rows >= t-e-6 see the real tail samples (y[r] reaches
+        # x[r+5] through the up FIR, +3 more through the down FIR) and
+        # rows [t-e, t) were never written — recompute the last e+6 rows
+        # with the oracle on a 32-row slice (only its first ~6 rows feel
+        # the slice's own left boundary, far from the rows we keep).
+        tail = anti_alias_activation_reference(
+            x[:, -32:, :], alpha, beta, logscale
+        )[:, -(e + 6):, :]
+        y = y.at[:, -(e + 6):, :].set(tail.astype(y.dtype))
     return y
 
 

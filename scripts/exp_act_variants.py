@@ -60,7 +60,8 @@ def _kernel_v(
 
         @pl.when(jnp.logical_and(ii > 0, ii < nt - 1))
         def _():
-            _in_copy(sl, bb, ii * tile - _HALO, tile + 2 * _HALO, 0).start()
+            lo = pl.multiple_of(ii * tile - _HALO, _HALO)
+            _in_copy(sl, bb, lo, tile + 2 * _HALO, 0).start()
 
         @pl.when(ii == nt - 1)
         def _():
@@ -81,14 +82,15 @@ def _kernel_v(
 
     @pl.when(jnp.logical_and(i > 0, i < nt - 1))
     def _():
-        _in_copy(slot, bg, i * tile - _HALO, tile + 2 * _HALO, 0).wait()
+        lo = pl.multiple_of(i * tile - _HALO, _HALO)
+        _in_copy(slot, bg, lo, tile + 2 * _HALO, 0).wait()
 
     @pl.when(i == nt - 1)
     def _():
         _in_copy(slot, bg, t - (tile + _HALO), tile + _HALO, 0).wait()
 
     cur = scratch.at[slot]
-    o = jnp.where(i == nt - 1, t - tile, i * tile)
+    o = pl.multiple_of(jnp.where(i == nt - 1, t - tile, i * tile), _HALO)
 
     def _out_copy(sl, bb, oo):
         return pltpu.make_async_copy(

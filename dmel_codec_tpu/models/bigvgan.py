@@ -62,6 +62,16 @@ class BigVGANConfig:
     # reference's replicate-padded edges in-kernel on every path, so this
     # flag no longer selects anything (ops/anti_alias.py)
     pallas_exact_edges: bool = True
+    # Merged-batch execution of the small-channel tail: TPU HBM tensors are
+    # (sublane, 128-lane) tiled, so a [B, T, C<128] activation physically
+    # occupies 128/C x its logical bytes and EVERY op in those stages
+    # (convs, adds, acts) moves the padding. From the first stage whose
+    # channel count drops below `merge_min_channels`, the batch is folded
+    # into the lane axis once ([B,T,C] -> [1,T,B*C]) and the stage runs as
+    # grouped convs + merged activations until conv_post; weights/params
+    # are identical either way (see WNConv.merged_groups). No-op at B=1.
+    merge_small_channels: bool = False
+    merge_min_channels: int = 128
 
     @property
     def hop_total(self) -> int:
@@ -77,16 +87,22 @@ def _get_padding(kernel_size: int, dilation: int = 1) -> int:
 
 
 class AliasFreeActivation(nn.Module):
-    """2x upsample -> snake/snakebeta -> 2x downsample, per channel."""
+    """2x upsample -> snake/snakebeta -> 2x downsample, per channel.
+
+    `merged_groups` > 1 means x is the merged-batch layout [1, T, G*C]
+    (lanes (g, c), g-major) and the logical per-channel alpha/beta are
+    tiled across groups at call time; params keep their logical (C,)
+    shape, so checkpoints interchange with the unmerged layout."""
 
     activation: str  # "snake" | "snakebeta"
     logscale: bool
     use_pallas: bool = False
     exact_edges: bool = True
+    merged_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        channels = x.shape[-1]
+        channels = x.shape[-1] // self.merged_groups
         init = nn.initializers.zeros if self.logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (channels,))
         if self.activation == "snakebeta":
@@ -95,6 +111,9 @@ class AliasFreeActivation(nn.Module):
             beta = None
         else:
             raise ValueError(f"unknown activation {self.activation!r}")
+        if self.merged_groups > 1:
+            alpha = jnp.tile(alpha, self.merged_groups)
+            beta = jnp.tile(beta, self.merged_groups) if beta is not None else None
 
         if self.use_pallas:
             from dmel_codec_tpu.ops.anti_alias import fused_anti_alias_activation
@@ -126,6 +145,7 @@ class AMPBlock1(nn.Module):
     logscale: bool
     use_pallas: bool = False
     exact_edges: bool = True
+    merged_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +155,7 @@ class AMPBlock1(nn.Module):
                 self.logscale,
                 self.use_pallas,
                 self.exact_edges,
+                self.merged_groups,
                 name=f"act_{idx}",
             )(y)
 
@@ -145,6 +166,7 @@ class AMPBlock1(nn.Module):
                 kernel_size=(self.kernel_size,),
                 padding=_get_padding(self.kernel_size, d),
                 dilation=d,
+                merged_groups=self.merged_groups,
                 name=f"conv1_{j}",
             )(xt)
             xt = act(2 * j + 1, xt)
@@ -152,6 +174,7 @@ class AMPBlock1(nn.Module):
                 self.channels,
                 kernel_size=(self.kernel_size,),
                 padding=_get_padding(self.kernel_size, 1),
+                merged_groups=self.merged_groups,
                 name=f"conv2_{j}",
             )(xt)
             x = x + xt
@@ -168,6 +191,7 @@ class AMPBlock2(nn.Module):
     logscale: bool
     use_pallas: bool = False
     exact_edges: bool = True
+    merged_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,6 +201,7 @@ class AMPBlock2(nn.Module):
                 self.logscale,
                 self.use_pallas,
                 self.exact_edges,
+                self.merged_groups,
                 name=f"act_{j}",
             )(x)
             xt = WNConv(
@@ -184,6 +209,7 @@ class AMPBlock2(nn.Module):
                 kernel_size=(self.kernel_size,),
                 padding=_get_padding(self.kernel_size, d),
                 dilation=d,
+                merged_groups=self.merged_groups,
                 name=f"conv_{j}",
             )(xt)
             x = x + xt
@@ -204,10 +230,24 @@ class BigVGAN(nn.Module):
             cfg.upsample_initial_channel, kernel_size=(7,), padding=3, name="conv_pre"
         )(mel)
 
+        groups = 1
+        batch = mel.shape[0]
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            if (
+                cfg.merge_small_channels
+                and groups == 1
+                and batch > 1
+                and ch < cfg.merge_min_channels
+            ):
+                # fold batch into lanes once, before the first small stage;
+                # everything below runs grouped on the compact layout
+                t_cur, c_cur = x.shape[1], x.shape[2]
+                x = x.transpose(1, 0, 2).reshape(1, t_cur, batch * c_cur)
+                groups = batch
             x = WNConvTranspose1d(
-                ch, kernel_size=k, stride=u, padding=(k - u) // 2, name=f"up_{i}"
+                ch, kernel_size=k, stride=u, padding=(k - u) // 2,
+                merged_groups=groups, name=f"up_{i}"
             )(x)
             xs = None
             for j, (rk, rd) in enumerate(
@@ -221,6 +261,7 @@ class BigVGAN(nn.Module):
                     logscale=cfg.snake_logscale,
                     use_pallas=cfg.use_pallas_kernel,
                     exact_edges=cfg.pallas_exact_edges,
+                    merged_groups=groups,
                     name=f"resblock_{i * cfg.num_kernels + j}",
                 )(x)
                 xs = out if xs is None else xs + out
@@ -231,6 +272,7 @@ class BigVGAN(nn.Module):
             cfg.snake_logscale,
             cfg.use_pallas_kernel,
             cfg.pallas_exact_edges,
+            merged_groups=groups,
             name="act_post",
         )(x)
         x = WNConv(
@@ -238,9 +280,13 @@ class BigVGAN(nn.Module):
             kernel_size=(7,),
             padding=3,
             use_bias=cfg.use_bias_at_final,
+            merged_groups=groups,
             name="conv_post",
         )(x)
-        x = x[..., 0]  # [B, L]
+        if groups > 1:
+            x = x[0].T  # [1, L, B] -> [B, L]
+        else:
+            x = x[..., 0]  # [B, L]
         if cfg.use_tanh_at_final:
             return jnp.tanh(x)
         return jnp.clip(x, -1.0, 1.0)

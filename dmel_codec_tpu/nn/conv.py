@@ -23,8 +23,13 @@ def conv_transpose1d(
     stride: int,
     padding: int = 0,
     precision=None,
+    feature_group_count: int = 1,
 ) -> jnp.ndarray:
-    """x [B, T, I], kernel [k, I, O] -> [B, (T-1)*stride - 2*padding + k, O]."""
+    """x [B, T, I], kernel [k, I/G, O] -> [B, (T-1)*stride - 2*padding + k, O].
+
+    With feature_group_count=G the input channels split into G independent
+    groups (grouped transposed conv, used by the merged-batch vocoder
+    layout where G = batch)."""
     dtype = jnp.result_type(x.dtype, kernel.dtype)
     x, kernel = x.astype(dtype), kernel.astype(dtype)
     k = kernel.shape[0]
@@ -37,6 +42,7 @@ def conv_transpose1d(
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=precision,
+        feature_group_count=feature_group_count,
     )
 
 

@@ -53,6 +53,15 @@ class WNConv(nn.Module):
     feature_group_count: int = 1
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    # merged-batch execution: the input carries `merged_groups` independent
+    # copies of the logical channel axis ([1, T, G*C] with lanes (g, c),
+    # g-major) and the SAME weights apply to every group. Params keep their
+    # logical shapes — checkpoints interchange with merged_groups=1 — and
+    # the normalised kernel is tiled G x along the output axis at call time
+    # (a grouped conv). Used by the small-channel vocoder stages, where a
+    # [B, T, C<128] tensor is physically lane-padded to 128 in HBM and the
+    # merged layout is the only compact one (models/bigvgan.py).
+    merged_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -70,7 +79,8 @@ class WNConv(nn.Module):
             if isinstance(self.padding, int)
             else tuple((p, p) for p in self.padding)
         )
-        in_ch = x.shape[-1] // self.feature_group_count
+        assert self.merged_groups == 1 or self.feature_group_count == 1
+        in_ch = x.shape[-1] // (self.feature_group_count * self.merged_groups)
         v = self.param(
             "v", self.kernel_init, (*self.kernel_size, in_ch, self.features)
         )
@@ -84,6 +94,10 @@ class WNConv(nn.Module):
             (self.features,),
         )
         kernel = weight_norm_kernel(v, g, axis=v.ndim - 1)
+        groups = self.feature_group_count
+        if self.merged_groups > 1:
+            kernel = jnp.tile(kernel, (1,) * (v.ndim - 1) + (self.merged_groups,))
+            groups = self.merged_groups
         dtype = jnp.result_type(x.dtype, kernel.dtype)
         x, kernel = x.astype(dtype), kernel.astype(dtype)
 
@@ -97,11 +111,11 @@ class WNConv(nn.Module):
             padding=padding,
             rhs_dilation=dilation,
             dimension_numbers=dn,
-            feature_group_count=self.feature_group_count,
+            feature_group_count=groups,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + (jnp.tile(bias, self.merged_groups) if self.merged_groups > 1 else bias)
         return y
 
 
@@ -118,10 +132,11 @@ class WNConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    merged_groups: int = 1  # see WNConv.merged_groups
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.merged_groups
         shape = (self.kernel_size, in_ch, self.features)
         v = self.param("v", self.kernel_init, shape)
         g = self.param(
@@ -130,8 +145,13 @@ class WNConvTranspose1d(nn.Module):
             (in_ch,),
         )
         kernel = weight_norm_kernel(v, g, axis=1)
-        y = conv_transpose1d(x, kernel, self.stride, self.padding)
+        if self.merged_groups > 1:
+            kernel = jnp.tile(kernel, (1, 1, self.merged_groups))
+        y = conv_transpose1d(
+            x, kernel, self.stride, self.padding,
+            feature_group_count=self.merged_groups,
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + (jnp.tile(bias, self.merged_groups) if self.merged_groups > 1 else bias)
         return y

@@ -71,6 +71,32 @@ def test_bigvgan_flagship_config_builds():
     assert out.shape == (1, 4 * 256)
 
 
+@pytest.mark.parametrize(
+    "initial_ch,min_ch",
+    [(32, 128), (64, 20)],  # merge from stage 0 / merge mid-way (stage 1)
+)
+def test_bigvgan_merged_batch_layout_matches(rng, initial_ch, min_ch):
+    """merge_small_channels folds batch into lanes from the first small-C
+    stage (grouped convs + tiled-param acts) — same params, same output."""
+    import jax
+
+    base = dict(TINY, upsample_initial_channel=initial_ch)
+    cfg = BigVGANConfig(**base, resblock="1", activation="snakebeta")
+    cfg_m = BigVGANConfig(
+        **base,
+        resblock="1",
+        activation="snakebeta",
+        merge_small_channels=True,
+        merge_min_channels=min_ch,
+    )
+    mel = jnp.asarray(rng.standard_normal((3, 16, cfg.num_mels)), jnp.float32)
+    params = BigVGAN(config=cfg).init(jax.random.PRNGKey(1), mel)
+    want = BigVGAN(config=cfg).apply(params, mel)
+    got = BigVGAN(config=cfg_m).apply(params, mel)  # identical param tree
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_from_pretrained_resolves_hub_id_from_cache(tmp_path):
     """from_pretrained accepts an HF-hub id and resolves it through the
     local hub cache with zero egress (ref bigvgan.py:420-499), returning

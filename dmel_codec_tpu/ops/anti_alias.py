@@ -82,6 +82,7 @@ _HALO = 16  # input halo per side: >= 6 taps, sublane-aligned for f32 + bf16
 # exactly one 128-lane MXU tile. Env knob for A/B experiments.
 _BLK = int(os.environ.get("DMEL_AA_BLK", "112"))
 _KW = _BLK + 16  # block + 6-tap reach each side, sublane-aligned
+_SEG_MIN_T = 12000  # below this, segmentation is not worth the halo DMAs
 
 
 def _sin_poly_coeffs(n_terms: int = 6) -> np.ndarray:
@@ -170,26 +171,36 @@ def _plan_tile(t: int, lanes: int, itemsize: int) -> Optional[int]:
 
 def _kernel(
     x_hbm, up_ref, dn_e_ref, dn_o_ref, alpha_ref, beta_ref, out_ref,
-    scratch, v_e, v_o, y_buf, in_sem, out_sem,
-    *, tile: int, t: int, nt: int,
+    scratch, v_e, v_o, y_buf, in_sem, in_sem2, out_sem,
+    *, tile: int, t: int, nt: int, contig: bool,
 ):
     bg = pl.program_id(0)
     i = pl.program_id(1)
     g = bg * nt + i
-    ncells = x_hbm.shape[0] * nt  # static
+    nb = x_hbm.shape[0]  # static
+    ncells = nb * nt  # static
     slot = jax.lax.rem(g, 2)
     lanes = scratch.shape[-1]
     single = nt == 1  # static
+
+    # `contig` (static): the leading axis holds CONTIGUOUS TIME SEGMENTS of
+    # one signal, not independent batches — a [1, T, L] merged input viewed
+    # as [nseg, T/nseg, L] (a free reshape) so the grid regains the
+    # per-batch shape the DMA engine streams ~9x faster than one long
+    # single-batch tile sequence (measured: 0.045 vs 0.391 ms for the same
+    # bytes). Interior segment edges take their halo from the neighbouring
+    # segment's rows via a second DMA; replicate fills apply only at the
+    # global ends.
 
     # ---- input DMA variants (full 128-aligned lane extent; the head/last
     # tiles copy a shorter row range and the edge rows are replicated in
     # VMEM — an XLA `jnp.pad` would be a full extra HBM round trip).
     # scratch row r of a tile with output start o holds time o - _HALO + r.
-    def _in_copy(sl, bb, src_lo, rows, dst_lo):
+    def _in_copy(sl, bb, src_lo, rows, dst_lo, sem=in_sem):
         return pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(src_lo, rows), :],
             scratch.at[sl, pl.ds(dst_lo, rows), :],
-            in_sem.at[sl],
+            sem.at[sl],
         )
 
     def in_single(sl, bb):
@@ -209,58 +220,78 @@ def _kernel(
     def in_last(sl, bb):
         return _in_copy(sl, bb, t - (tile + _HALO), tile + _HALO, 0)
 
-    def start_in(sl, bb, ii):
+    # cross-segment halo copies (contig only; second semaphore so the
+    # matched wait cannot confuse byte counts with the main copy)
+    def in_prev_tail(sl, bb):
+        return _in_copy(sl, bb - 1, t - _HALO, _HALO, 0, sem=in_sem2)
+
+    def in_next_head(sl, bb):
+        return _in_copy(sl, bb + 1, 0, _HALO, tile + _HALO, sem=in_sem2)
+
+    def _for_each(sl, bb, ii, act):
+        """Apply start()/wait() uniformly to the cell's copy set."""
         if single:
-            in_single(sl, bb).start()
+            act(in_single(sl, bb))
+            if contig and nb > 1:
+
+                @pl.when(bb > 0)
+                def _():
+                    act(in_prev_tail(sl, bb))
+
+                @pl.when(bb < nb - 1)
+                def _():
+                    act(in_next_head(sl, bb))
             return
 
         @pl.when(ii == 0)
         def _():
-            in_head(sl, bb).start()
+            act(in_head(sl, bb))
 
         @pl.when(jnp.logical_and(ii > 0, ii < nt - 1))
         def _():
-            in_mid(sl, bb, ii).start()
+            act(in_mid(sl, bb, ii))
 
         @pl.when(ii == nt - 1)
         def _():
-            in_last(sl, bb).start()
+            act(in_last(sl, bb))
+
+        if contig and nb > 1:
+
+            @pl.when(jnp.logical_and(ii == 0, bb > 0))
+            def _():
+                act(in_prev_tail(sl, bb))
+
+            @pl.when(jnp.logical_and(ii == nt - 1, bb < nb - 1))
+            def _():
+                act(in_next_head(sl, bb))
 
     @pl.when(g == 0)
     def _():
-        start_in(slot, bg, i)
+        _for_each(slot, bg, i, lambda c: c.start())
 
     @pl.when(g + 1 < ncells)
     def _():
         wraps = i + 1 == nt
         b2 = jnp.where(wraps, bg + 1, bg)
         i2 = jnp.where(wraps, 0, i + 1)
-        start_in(1 - slot, b2, i2)
+        _for_each(1 - slot, b2, i2, lambda c: c.start())
 
     # wait own input (variant must match the started copy's byte count)
-    if single:
-        in_single(slot, bg).wait()
-    else:
+    _for_each(slot, bg, i, lambda c: c.wait())
 
-        @pl.when(i == 0)
-        def _():
-            in_head(slot, bg).wait()
+    # ---- in-VMEM replicate fills (the jnp.pad the kernel no longer pays);
+    # with contig segments these are GLOBAL signal edges only — interior
+    # segment edges already hold real neighbour rows from the halo DMAs.
+    head_edge = jnp.logical_and(i == 0, bg == 0) if contig else i == 0
+    tail_i = i == nt - 1
+    tail_edge = jnp.logical_and(tail_i, bg == nb - 1) if contig else tail_i
 
-        @pl.when(jnp.logical_and(i > 0, i < nt - 1))
-        def _():
-            in_mid(slot, bg, i).wait()
-
-        @pl.when(i == nt - 1)
-        def _():
-            in_last(slot, bg).wait()
-
-    # ---- in-VMEM replicate fills (the jnp.pad the kernel no longer pays)
-    @pl.when(i == 0)
+    @pl.when(head_edge)
     def _():
         row = scratch[slot, _HALO, :]
         scratch[slot, pl.ds(0, _HALO), :] = jnp.broadcast_to(row, (_HALO, lanes))
 
-    if single:
+    if single and not contig:
         # tail rows [16+t, tile+32) <- time t-1
         fill = tile + 2 * _HALO - (_HALO + t)
         if fill > 0:
@@ -270,15 +301,22 @@ def _kernel(
             )
     else:
 
-        @pl.when(i == nt - 1)
+        @pl.when(tail_edge)
         def _():
             row = scratch[slot, tile + _HALO - 1, :]
             scratch[slot, pl.ds(tile + _HALO, _HALO), :] = jnp.broadcast_to(
                 row, (_HALO, lanes)
             )
 
-    # ---- upsample FIR + snake ----
+    # ---- fused, software-pipelined FIR/snake/FIR ----
+    # The three streams are interleaved per 112-row block so the MXU
+    # matmuls of block j+1 and the VPU snake of block j are textually
+    # adjacent INDEPENDENT ops Mosaic's scheduler can overlap (the naive
+    # loop-per-stage form measured perfectly additive: full = no-snake +
+    # snake cost, i.e. zero MXU/VPU overlap).
     m_up = up_ref[0]
+    d_e = dn_e_ref[0]
+    d_o = dn_o_ref[0]
     alpha = alpha_ref[0, :].astype(jnp.float32)
     inv_beta = beta_ref[0, :].astype(jnp.float32)
     cur = scratch.at[slot]
@@ -293,40 +331,11 @@ def _kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    u_rows = tile + 2 * (_HALO - 8)
-    n_up = (u_rows + _BLK - 1) // _BLK
-    for j in range(n_up):
-        s = min(8 + j * _BLK, 8 + u_rows - _BLK)
-        xin = cur[pl.ds(s - 8, _KW), :]
-        u = jnp.dot(m_up, xin, preferred_element_type=jnp.float32, precision=_prec)
-        sn = _fast_sin(u * alpha)
-        v = u + inv_beta * sn * sn
-        v_e[pl.ds(s - 8, _BLK), :] = v[:_BLK].astype(v_e.dtype)
-        v_o[pl.ds(s - 8, _BLK), :] = v[_BLK:].astype(v_o.dtype)
-
-    # ---- reference-exact edges: DownSample1d pads the post-snake signal
-    # (5 left / 6 right, replicate). v buffer row k holds time o - 8 + k.
-    @pl.when(i == 0)
-    def _():
-        row = v_e[8, :]
-        v_e[pl.ds(6, 2), :] = jnp.broadcast_to(row, (2, lanes))
-        v_o[pl.ds(5, 3), :] = jnp.broadcast_to(row, (3, lanes))
-
-    k0 = t + 8 if single else tile + 8  # static: v row of time t
-
-    @pl.when(i == nt - 1)
-    def _():
-        row = v_o[k0 - 1, :]
-        v_e[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
-        v_o[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
-
-    # ---- output slot reuse guard + downsample FIR ----
+    # output slot reuse guard (before y_buf writes begin)
     if single:
         o = 0
     else:
-        o = pl.multiple_of(
-            jnp.where(i == nt - 1, t - tile, i * tile), _HALO
-        )
+        o = pl.multiple_of(jnp.where(i == nt - 1, t - tile, i * tile), _HALO)
     out_rows = t if single else tile
 
     def _out_copy(sl, bb, oo):
@@ -342,15 +351,62 @@ def _kernel(
         def _():
             _out_copy(slot, bg, o).wait()
 
-    d_e = dn_e_ref[0]
-    d_o = dn_o_ref[0]
-    for j in range(tile // _BLK):
+    def dot_up(j):
+        s = min(8 + j * _BLK, 8 + u_rows - _BLK)
+        xin = cur[pl.ds(s - 8, _KW), :]
+        return s, jnp.dot(
+            m_up, xin, preferred_element_type=jnp.float32, precision=_prec
+        )
+
+    def snake_store(s, u):
+        sn = _fast_sin(u * alpha)
+        v = u + inv_beta * sn * sn
+        v_e[pl.ds(s - 8, _BLK), :] = v[:_BLK].astype(v_e.dtype)
+        v_o[pl.ds(s - 8, _BLK), :] = v[_BLK:].astype(v_o.dtype)
+
+    def down_store(j):
         ve = v_e[pl.ds(j * _BLK, _KW), :]
         vo = v_o[pl.ds(j * _BLK, _KW), :]
         y = jnp.dot(
             d_e, ve, preferred_element_type=jnp.float32, precision=_prec
         ) + jnp.dot(d_o, vo, preferred_element_type=jnp.float32, precision=_prec)
         y_buf[slot, pl.ds(j * _BLK, _BLK), :] = y.astype(y_buf.dtype)
+
+    def head_fill():
+        # reference-exact edges: DownSample1d pads the post-snake signal
+        # (5 left / 6 right, replicate). v buffer row k holds time o-8+k.
+        @pl.when(head_edge)
+        def _():
+            row = v_e[8, :]
+            v_e[pl.ds(6, 2), :] = jnp.broadcast_to(row, (2, lanes))
+            v_o[pl.ds(5, 3), :] = jnp.broadcast_to(row, (3, lanes))
+
+    def tail_fill():
+        k0 = t + 8 if single else tile + 8  # static: v row of time t
+
+        @pl.when(tail_edge)
+        def _():
+            row = v_o[k0 - 1, :]
+            v_e[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
+            v_o[pl.ds(k0, 3), :] = jnp.broadcast_to(row, (3, lanes))
+
+    u_rows = tile + 2 * (_HALO - 8)  # v rows always span [0, tile+16)
+    n_up = (u_rows + _BLK - 1) // _BLK  # == tile//_BLK + 1
+    n_dn = tile // _BLK
+    # software pipeline: up(j+1) issued before snake(j); down(j-1) follows
+    # snake(j) (its 128-row window reaches 16 rows into block j's output)
+    s_prev, u_prev = dot_up(0)
+    for j in range(n_up):
+        nxt = dot_up(j + 1) if j + 1 < n_up else None
+        snake_store(s_prev, u_prev)
+        if j == 0:
+            head_fill()
+        if j == n_up - 1:
+            tail_fill()
+        if 1 <= j and j - 1 < n_dn:
+            down_store(j - 1)
+        if nxt is not None:
+            s_prev, u_prev = nxt
 
     _out_copy(slot, bg, o).start()
 
@@ -359,6 +415,33 @@ def _kernel(
         _out_copy(slot, bg, o).wait()
         if ncells >= 2:
             _out_copy(1 - slot, bg, o).wait()
+
+
+def _plan_segments(b: int, t: int, lanes: int, itemsize: int) -> int:
+    """Segment count for merged single-batch inputs.
+
+    A [1, T, L] signal is viewed as [nseg, T/nseg, L] contiguous time
+    segments (a free reshape — row-major layout is identical) so the grid
+    gets a leading axis: the DMA engine streams a (b, nt) grid ~9x faster
+    than one long single-batch tile sequence (measured 0.045 vs 0.391 ms
+    for identical bytes at [16,6000,384] vs [1,96000,384]). Segments need
+    16-aligned length; per-segment plans must be multi-tile or exactly
+    one tile (so cross-segment halo DMA destinations stay static).
+    Targets ~6000 rows/segment — the measured sweet spot."""
+    if b != 1 or t < _SEG_MIN_T or t % _HALO:
+        return 1
+    best, best_cost = 1, None
+    for n in range(2, 33):
+        if t % n or (t // n) % _HALO:
+            continue
+        tp = t // n
+        tile = _plan_tile(tp, lanes, itemsize)
+        if tile is None or (tile >= tp and tile != tp):
+            continue
+        cost = abs(tp - 6000)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = n, cost
+    return best
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -373,23 +456,37 @@ def _fused_forward(
     Every DMA row start must sit on the HBM sublane tiling, so the kernel
     covers only the 16-aligned prefix t_k = T - T % 16; output rows
     [t_k, T) are left unwritten and the caller patches the tail (the
-    halo makes rows >= t_k - 6 depend on the untouched tail samples)."""
+    halo makes rows >= t_k - 6 depend on the untouched tail samples).
+    Merged single-batch inputs with 16-aligned T run segmented (see
+    _plan_segments) with exact cross-segment halos."""
     b, t, lanes = x.shape
     tk = t - t % _HALO
     itemsize = jnp.dtype(x.dtype).itemsize
-    tile = _plan_tile(tk, lanes, itemsize)
+    nseg = _plan_segments(b, t, lanes, itemsize)
+    contig = nseg > 1
+    if contig:
+        t_run = t // nseg
+        xk = x.reshape(nseg, t_run, lanes)
+        grid_b = nseg
+    else:
+        t_run = tk
+        xk = x
+        grid_b = b
+    tile = _plan_tile(t_run, lanes, itemsize)
     assert tile is not None, "dispatch guarantees a VMEM-feasible tile"
-    nt = 1 if tile >= tk else pl.cdiv(tk, tile)
+    nt = 1 if tile >= t_run else pl.cdiv(t_run, tile)
 
     up = jnp.asarray(_UP_STACK, x.dtype)[None]
     dn_e = jnp.asarray(_BANDS[2], x.dtype)[None]
     dn_o = jnp.asarray(_BANDS[3], x.dtype)[None]
 
     const = lambda b_, i_: (0, 0, 0)
-    return pl.pallas_call(
-        partial(_kernel, tile=tile, t=tk, nt=nt),
-        out_shape=jax.ShapeDtypeStruct((b, t, lanes), x.dtype),
-        grid=(b, nt),
+    y = pl.pallas_call(
+        partial(_kernel, tile=tile, t=t_run, nt=nt, contig=contig),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_b, t_run if contig else t, lanes), x.dtype
+        ),
+        grid=(grid_b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, 2 * _BLK, _KW), const, memory_space=pltpu.VMEM),
@@ -406,9 +503,13 @@ def _fused_forward(
             pltpu.VMEM((2, tile, lanes), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x, up, dn_e, dn_o, a_l, invb_l)
+    )(xk, up, dn_e, dn_o, a_l, invb_l)
+    if contig:
+        y = y.reshape(1, t, lanes)
+    return y
 
 
 def anti_alias_activation_reference(

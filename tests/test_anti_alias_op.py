@@ -105,3 +105,23 @@ def test_fused_gradients_match_oracle(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, alpha, beta)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("t", [4032, 8064])  # single-tile / multi-tile segments
+def test_fused_segmented_contig_matches_oracle(rng, t, monkeypatch):
+    """Merged single-batch inputs run as [nseg, T/nseg, L] contiguous
+    segments with cross-segment halo DMAs; output must equal the oracle
+    exactly incl. at interior segment boundaries."""
+    import dmel_codec_tpu.ops.anti_alias as A
+
+    monkeypatch.setattr(A, "_SEG_MIN_T", 256)
+    c = 128  # direct path (no lane merge), b=1 triggers segmentation
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    itemsize = 4
+    nseg = A._plan_segments(1, t, c, itemsize)
+    assert nseg > 1, "shape must actually exercise the segmented path"
+    want = anti_alias_activation_reference(x, alpha, beta, logscale=True)
+    got = fused_anti_alias_activation(x, alpha, beta, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)

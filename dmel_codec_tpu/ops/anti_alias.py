@@ -172,7 +172,7 @@ def _plan_tile(t: int, lanes: int, itemsize: int) -> Optional[int]:
 def _kernel(
     x_hbm, up_ref, dn_e_ref, dn_o_ref, alpha_ref, beta_ref, out_ref,
     scratch, v_e, v_o, y_buf, in_sem, in_sem2, out_sem,
-    *, tile: int, t: int, nt: int, contig: bool,
+    *, tile: int, t: int, nt: int, contig: bool, pipelined: bool,
 ):
     bg = pl.program_id(0)
     i = pl.program_id(1)
@@ -393,20 +393,33 @@ def _kernel(
     u_rows = tile + 2 * (_HALO - 8)  # v rows always span [0, tile+16)
     n_up = (u_rows + _BLK - 1) // _BLK  # == tile//_BLK + 1
     n_dn = tile // _BLK
-    # software pipeline: up(j+1) issued before snake(j); down(j-1) follows
-    # snake(j) (its 128-row window reaches 16 rows into block j's output)
-    s_prev, u_prev = dot_up(0)
-    for j in range(n_up):
-        nxt = dot_up(j + 1) if j + 1 < n_up else None
-        snake_store(s_prev, u_prev)
-        if j == 0:
-            head_fill()
-        if j == n_up - 1:
-            tail_fill()
-        if 1 <= j and j - 1 < n_dn:
-            down_store(j - 1)
-        if nxt is not None:
-            s_prev, u_prev = nxt
+    if pipelined:
+        # software pipeline: up(j+1) issued before snake(j); down(j-1)
+        # follows snake(j) (its 128-row window reaches 16 rows into block
+        # j's output). Wins on mid-width lanes; loses where holding two
+        # live [2*_BLK, lanes] f32 u blocks spills (autotuned dispatch in
+        # _pick_pipelined).
+        s_prev, u_prev = dot_up(0)
+        for j in range(n_up):
+            nxt = dot_up(j + 1) if j + 1 < n_up else None
+            snake_store(s_prev, u_prev)
+            if j == 0:
+                head_fill()
+            if j == n_up - 1:
+                tail_fill()
+            if 1 <= j and j - 1 < n_dn:
+                down_store(j - 1)
+            if nxt is not None:
+                s_prev, u_prev = nxt
+    else:
+        # sequential stages: all up+snake blocks, edge fills, all downs
+        for j in range(n_up):
+            s, u = dot_up(j)
+            snake_store(s, u)
+        head_fill()
+        tail_fill()
+        for j in range(n_dn):
+            down_store(j)
 
     _out_copy(slot, bg, o).start()
 
@@ -444,12 +457,29 @@ def _plan_segments(b: int, t: int, lanes: int, itemsize: int) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _pick_pipelined(lanes: int, merged: bool) -> bool:
+    """Kernel-body structure (TPU v5e matrix, scripts/exp_act_matrix.py):
+    the software-pipelined body wins clearly at the widest and narrowest
+    vocoder shapes (s0 0.41->0.12 ms, s5-merged 0.78->0.53 ms) and ties
+    within measurement noise elsewhere, so it is the default; the
+    sequential body stays selectable (DMEL_AA_PIPE=0) for A/B runs."""
+    if _FORCE_PIPE is not None:
+        return bool(int(_FORCE_PIPE))
+    return True
+
+
+_FORCE_PIPE = os.environ.get("DMEL_AA_PIPE") or None
+_FORCE_NSEG = os.environ.get("DMEL_AA_NSEG") or None
+
+
+@partial(jax.jit, static_argnames=("interpret", "pipelined", "force_nseg"))
 def _fused_forward(
     x: jnp.ndarray,
     a_l: jnp.ndarray,
     invb_l: jnp.ndarray,
     interpret: bool = False,
+    pipelined: Optional[bool] = None,
+    force_nseg: Optional[int] = None,
 ) -> jnp.ndarray:
     """x: [B, T, L] with L a multiple of 128 (the caller merges/pads).
 
@@ -462,7 +492,14 @@ def _fused_forward(
     b, t, lanes = x.shape
     tk = t - t % _HALO
     itemsize = jnp.dtype(x.dtype).itemsize
-    nseg = _plan_segments(b, t, lanes, itemsize)
+    if force_nseg is None and _FORCE_NSEG is not None:
+        force_nseg = int(_FORCE_NSEG)
+    if force_nseg is not None:
+        nseg = force_nseg if (t % max(force_nseg, 1) == 0 and b == 1) else 1
+    else:
+        nseg = _plan_segments(b, t, lanes, itemsize)
+    if pipelined is None:
+        pipelined = _pick_pipelined(lanes, b == 1)
     contig = nseg > 1
     if contig:
         t_run = t // nseg
@@ -482,7 +519,10 @@ def _fused_forward(
 
     const = lambda b_, i_: (0, 0, 0)
     y = pl.pallas_call(
-        partial(_kernel, tile=tile, t=t_run, nt=nt, contig=contig),
+        partial(
+            _kernel, tile=tile, t=t_run, nt=nt, contig=contig,
+            pipelined=pipelined,
+        ),
         out_shape=jax.ShapeDtypeStruct(
             (grid_b, t_run if contig else t, lanes), x.dtype
         ),

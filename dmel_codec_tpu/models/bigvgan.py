@@ -65,11 +65,14 @@ class BigVGANConfig:
     # Merged-batch execution of the small-channel tail: TPU HBM tensors are
     # (sublane, 128-lane) tiled, so a [B, T, C<128] activation physically
     # occupies 128/C x its logical bytes and EVERY op in those stages
-    # (convs, adds, acts) moves the padding. From the first stage whose
-    # channel count drops below `merge_min_channels`, the batch is folded
-    # into the lane axis once ([B,T,C] -> [1,T,B*C]) and the stage runs as
-    # grouped convs + merged activations until conv_post; weights/params
-    # are identical either way (see WNConv.merged_groups). No-op at B=1.
+    # (convs, adds, acts) moves the padding. Each stage whose channel count
+    # drops below `merge_min_channels` folds the SMALLEST batch factor g
+    # with g*C a 128 multiple into the lane axis ([B,T,C] -> [B/g,T,g*C]);
+    # the stage then runs dense block-diagonal convs (kron(I_g, w) kernels
+    # — g x the logical MXU FLOPs, but every HBM byte is real and the
+    # grouped-conv lowering XLA would pick is 5-8x slower) and merged
+    # activations. Weights/params are identical either way (see
+    # WNConv.merged_groups). No-op at B=1.
     merge_small_channels: bool = False
     merge_min_channels: int = 128
 
@@ -84,6 +87,35 @@ class BigVGANConfig:
 
 def _get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
+
+
+def _fold_factor(batch: int, ch: int) -> int:
+    """Smallest divisor g of batch with g*ch a multiple of 128 (exact lane
+    fill); if none exists, the divisor with the best lane utilisation
+    (ties -> smaller g: block-diagonal conv FLOPs scale with g)."""
+    best, best_util = 1, ch / (-(-ch // 128) * 128)
+    for g in range(2, batch + 1):
+        if batch % g:
+            continue
+        lanes = g * ch
+        if lanes % 128 == 0:
+            return g
+        util = lanes / (-(-lanes // 128) * 128)
+        if util > best_util + 1e-9:
+            best, best_util = g, util
+    return best
+
+
+def _fold(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[B, T, C] -> [B/g, T, g*C], lanes (group-major, channel-minor)."""
+    b, t, c = x.shape
+    return x.reshape(b // g, g, t, c).transpose(0, 2, 1, 3).reshape(b // g, t, g * c)
+
+
+def _unfold(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    bg, t, gc = x.shape
+    c = gc // g
+    return x.reshape(bg, t, g, c).transpose(0, 2, 1, 3).reshape(bg * g, t, c)
 
 
 class AliasFreeActivation(nn.Module):
@@ -234,17 +266,20 @@ class BigVGAN(nn.Module):
         batch = mel.shape[0]
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            want = 1
             if (
                 cfg.merge_small_channels
-                and groups == 1
                 and batch > 1
                 and ch < cfg.merge_min_channels
             ):
-                # fold batch into lanes once, before the first small stage;
-                # everything below runs grouped on the compact layout
-                t_cur, c_cur = x.shape[1], x.shape[2]
-                x = x.transpose(1, 0, 2).reshape(1, t_cur, batch * c_cur)
-                groups = batch
+                want = _fold_factor(batch, ch)
+            if want != groups:
+                # per-stage refold: lanes track this stage's channel count
+                # (one relayout per stage; the acts/convs inside then run
+                # on the compact layout with zero per-op transposes)
+                x = _fold(_unfold(x, groups) if groups > 1 else x, want) \
+                    if want > 1 else _unfold(x, groups)
+                groups = want
             x = WNConvTranspose1d(
                 ch, kernel_size=k, stride=u, padding=(k - u) // 2,
                 merged_groups=groups, name=f"up_{i}"
@@ -284,7 +319,7 @@ class BigVGAN(nn.Module):
             name="conv_post",
         )(x)
         if groups > 1:
-            x = x[0].T  # [1, L, B] -> [B, L]
+            x = _unfold(x, groups)[..., 0]  # [B/g, L, g] -> [B, L]
         else:
             x = x[..., 0]  # [B, L]
         if cfg.use_tanh_at_final:

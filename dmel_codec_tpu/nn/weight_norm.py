@@ -16,6 +16,7 @@ normalising over all axes except the last (conv) or except axis 1
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Union
 
 import flax.linen as nn
@@ -23,6 +24,22 @@ import jax
 import jax.numpy as jnp  # noqa: F401
 
 from dmel_codec_tpu.nn.conv import conv_transpose1d
+
+# merged-batch conv implementation: "blockdiag" (dense kron(I_G, w) kernel,
+# default — MXU-efficient) or "grouped" (feature_group_count=G, kept for
+# A/B runs; measured 5-8x slower on TPU at vocoder tail shapes).
+_MERGED_IMPL = os.environ.get("DMEL_MERGED_CONV", "blockdiag")
+
+
+def _blockdiag(kernel: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """[k..., I, O] -> [k..., G*I, G*O] with the same weights on each
+    diagonal block (group g's input lanes map only to group g's outputs)."""
+    eye = jnp.eye(groups, dtype=kernel.dtype)
+    # kron over the trailing two axes, batched over the spatial ones
+    k_shape = kernel.shape[:-2]
+    i, o = kernel.shape[-2:]
+    out = jnp.einsum("gh,...io->...giho", eye, kernel)
+    return out.reshape(*k_shape, groups * i, groups * o)
 
 
 def weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -96,8 +113,18 @@ class WNConv(nn.Module):
         kernel = weight_norm_kernel(v, g, axis=v.ndim - 1)
         groups = self.feature_group_count
         if self.merged_groups > 1:
-            kernel = jnp.tile(kernel, (1,) * (v.ndim - 1) + (self.merged_groups,))
-            groups = self.merged_groups
+            if _MERGED_IMPL == "grouped":
+                kernel = jnp.tile(
+                    kernel, (1,) * (v.ndim - 1) + (self.merged_groups,)
+                )
+                groups = self.merged_groups
+            else:
+                # dense block-diagonal expansion: XLA's grouped conv is
+                # 5-8x slower than dense at vocoder tail shapes (measured,
+                # scripts/exp_merged_stage.py), so the grouped conv runs as
+                # a DENSE conv with kernel kron(I_G, w) — G x the logical
+                # FLOPs on the MXU, but every HBM byte moved is real.
+                kernel = _blockdiag(kernel, self.merged_groups)
         dtype = jnp.result_type(x.dtype, kernel.dtype)
         x, kernel = x.astype(dtype), kernel.astype(dtype)
 
@@ -145,11 +172,15 @@ class WNConvTranspose1d(nn.Module):
             (in_ch,),
         )
         kernel = weight_norm_kernel(v, g, axis=1)
+        fgc = 1
         if self.merged_groups > 1:
-            kernel = jnp.tile(kernel, (1, 1, self.merged_groups))
+            if _MERGED_IMPL == "grouped":
+                kernel = jnp.tile(kernel, (1, 1, self.merged_groups))
+                fgc = self.merged_groups
+            else:
+                kernel = _blockdiag(kernel, self.merged_groups)
         y = conv_transpose1d(
-            x, kernel, self.stride, self.padding,
-            feature_group_count=self.merged_groups,
+            x, kernel, self.stride, self.padding, feature_group_count=fgc,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

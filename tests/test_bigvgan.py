@@ -97,6 +97,41 @@ def test_bigvgan_merged_batch_layout_matches(rng, initial_ch, min_ch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_bigvgan_partial_fold_matches(rng):
+    """Per-stage partial folds (smallest batch divisor g whose g*C fills
+    the 128-lane tile, else the best-utilisation divisor) produce the same
+    output as unmerged, including across a stage-to-stage refold."""
+    import jax
+
+    from dmel_codec_tpu.models.bigvgan import _fold, _fold_factor, _unfold
+
+    # fold planner: exact-fill folds and fallbacks
+    assert _fold_factor(16, 96) == 4
+    assert _fold_factor(16, 48) == 8
+    assert _fold_factor(16, 24) == 16
+    assert _fold_factor(3, 16) == 3  # no exact fill: best utilisation
+    assert _fold_factor(1, 24) == 1
+
+    x = jnp.asarray(rng.standard_normal((4, 5, 6)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_unfold(_fold(x, 2), 2)), np.asarray(x))
+
+    base = dict(TINY, upsample_initial_channel=64)
+    cfg = BigVGANConfig(**base, resblock="1", activation="snake")
+    cfg_m = BigVGANConfig(
+        **base,
+        resblock="1",
+        activation="snake",
+        merge_small_channels=True,
+        merge_min_channels=1024,  # every stage folds
+    )
+    mel = jnp.asarray(rng.standard_normal((4, 16, cfg.num_mels)), jnp.float32)
+    params = BigVGAN(config=cfg).init(jax.random.PRNGKey(2), mel)
+    want = BigVGAN(config=cfg).apply(params, mel)
+    got = BigVGAN(config=cfg_m).apply(params, mel)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_from_pretrained_resolves_hub_id_from_cache(tmp_path):
     """from_pretrained accepts an HF-hub id and resolves it through the
     local hub cache with zero egress (ref bigvgan.py:420-499), returning

@@ -38,6 +38,13 @@ def main() -> None:
     vcfg = BigVGANConfig(
         use_pallas_kernel=jax.devices()[0].platform == "tpu",
         pallas_exact_edges=False,  # serving: skip 3-frame boundary patch
+        # Merged small-C tail (block-diagonal dense convs on a [B/g,T,g*C]
+        # layout) was A/B'd end-to-end and LOSES at the headline shapes
+        # (187.7 vs 254.1 xRT): the per-stage refolds + g-times conv FLOPs
+        # cost more than the lane-padding bytes they save once the act
+        # kernel handles small C natively. Off by default; BENCH_MERGE=1
+        # re-enables for A/B.
+        merge_small_channels=os.environ.get("BENCH_MERGE", "0") == "1",
     )
     codec = DMelCodec(config=cfg)
     vocoder = BigVGAN(config=vcfg)

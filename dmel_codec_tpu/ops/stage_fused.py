@@ -1,0 +1,466 @@
+"""Fused small-channel AMP resblock stage — channels-first Pallas TPU kernel.
+
+The BigVGAN tail stages (C in {96, 48, 24} at the flagship config) are the
+headline-bench bottleneck: in the channels-last [B, T, C] layout every op
+moves 128/C x its logical bytes (TPU HBM lane padding) and the public
+anti-alias op pays a [B,T,C] <-> [1,T,B*C] XLA transpose pair PER
+ACTIVATION (measured: kernel 0.53 ms vs 2.93 ms public at s5 — the
+transposes dominate). This kernel instead runs a WHOLE upsample stage
+(3 parallel AMP resblocks = 18 anti-aliased snakes + 18 weight-normed
+convs + residuals + average, reference bigvgan.py:104-126) in one pass
+over a channels-FIRST [B, C, T] layout:
+
+  * time lives on the 128-wide lane axis -> every byte moved is real;
+  * the 6-tap polyphase FIRs and the snake run on the VPU with lane
+    rotates (pltpu.roll) — no 2x-rate signal ever touches HBM;
+  * each conv tap is a [C_out, C_in] x [C_in, W] MXU matmul over the
+    sublane (channel) axis — LOGICAL FLOPs, unlike the kron(I_B, w)
+    block-diagonal form the merged-batch layout would need (B x FLOPs,
+    measured end-to-end loser);
+  * ONE HBM read + write per stage instead of 36 (the per-op round trips
+    of the unfused path), with a +-H lane halo per tile.
+
+Edge semantics are bit-compatible with the unfused oracle chain
+(UpSample1d replicate / DownSample1d post-snake replicate, see
+ops/anti_alias.py docstring; convs zero-pad): edge tiles patch the exact
+boundary lanes in-kernel; only the non-128-aligned tail remainder is
+recomputed outside with the XLA reference chain (same pattern as
+ops/anti_alias.py).
+
+Reference parity: this fuses the conv->act->conv chains of
+models/modules/bigvgan/bigvgan.py:104-147 (AMPBlock1); the CUDA analogue
+fuses only the activation (anti_alias_activation_cuda.cu:44-179) — fusing
+the whole stage is what the TPU layout/bandwidth trade demands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmel_codec_tpu.nn.resample import downsample1d, upsample1d
+from dmel_codec_tpu.nn.snake import snake, snake_beta
+from dmel_codec_tpu.nn.weight_norm import weight_norm_kernel
+from dmel_codec_tpu.ops.anti_alias import _FILT, _fast_sin
+
+_EPS = 1e-9
+_F = np.asarray(_FILT, np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    """Static description of one upsample stage's resblock group."""
+
+    channels: int
+    kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"  # "snake" | "snakebeta"
+    logscale: bool = True
+
+    @property
+    def receptive(self) -> int:
+        """Max one-side reach of a whole block chain (act=6, conv=d(k-1)/2)."""
+        r = 0
+        for k, dils in zip(self.kernel_sizes, self.dilations):
+            rb = sum(6 + d * (k - 1) // 2 + 6 + (k - 1) // 2 for d in dils)
+            r = max(r, rb)
+        return r
+
+
+def pack_stage(resblocks: Sequence[dict], spec: StageSpec) -> dict:
+    """Flax resblock param subtrees -> kernel-ready arrays (traced, cheap).
+
+    resblocks: [{conv1_j: {v,g,bias}, conv2_j: {...}, act_a: {alpha[,beta]}}]
+    Returns {w: [18 arrays [k, C_out, C_in]], b: [C, 18], a: [C, 36],
+    ib: [C, 36]} with weight-norm materialised and alpha/beta pre-exp'd.
+    """
+    ws, biases, alphas, inv_betas = [], [], [], []
+    for blk in resblocks:
+        n_dil = len([k for k in blk if k.startswith("conv1_")])
+        for j in range(n_dil):
+            for name in (f"conv1_{j}", f"conv2_{j}"):
+                p = blk[name]
+                w = weight_norm_kernel(p["v"], p["g"], axis=2)  # [k, ci, co]
+                ws.append(jnp.transpose(w, (0, 2, 1)))  # [k, co, ci]
+                biases.append(p["bias"])
+        for a_idx in range(2 * n_dil):
+            p = blk[f"act_{a_idx}"]
+            alpha = p["alpha"]
+            if spec.logscale:
+                alpha = jnp.exp(alpha)
+            if spec.activation == "snakebeta":
+                beta = p["beta"]
+                if spec.logscale:
+                    beta = jnp.exp(beta)
+            else:
+                beta = alpha
+            alphas.append(alpha)
+            inv_betas.append(1.0 / (beta + _EPS))
+    to_cols = lambda lst: jnp.stack(lst, axis=1).astype(jnp.float32)  # [C, n]
+    return {
+        "w": ws,
+        "b": to_cols(biases),
+        "a": to_cols(alphas),
+        "ib": to_cols(inv_betas),
+    }
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _roll(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """value[..., L + m] (circular on lanes; halo absorbs the wrap)."""
+    if m == 0:
+        return x
+    return pltpu.roll(x, shift=(-m) % x.shape[-1], axis=x.ndim - 1)
+
+
+def _kernel(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
+    n_convs = sum(2 * len(d) for d in spec.dilations)
+    x_hbm = refs[0]
+    w_refs = refs[1 : 1 + n_convs]
+    b_ref, a_ref, ib_ref = refs[1 + n_convs : 4 + n_convs]
+    out_hbm = refs[4 + n_convs]
+    scratch, acc, xb, t1, pe, po, ob, in_sem, out_sem = refs[5 + n_convs :]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    g = b * nt + i
+    c = scratch.shape[0]
+    Wf = W + 2 * H
+    head = i == 0
+    tail = i == nt - 1
+
+    # matmul precision: f32 inputs must contract exactly (HIGHEST); bf16
+    # inputs use the fast single-pass path (same policy as ops/anti_alias).
+    f32_in = scratch.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.float32 if f32_in else jnp.bfloat16
+
+    # ---- input DMA (lane windows 128-aligned by construction: W, H, and
+    # t are multiples of 128; the caller guarantees t % 128 == 0)
+    def in_copy(src_lo, lanes_n, dst_lo):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(src_lo, lanes_n)],
+            scratch.at[:, pl.ds(dst_lo, lanes_n)],
+            in_sem,
+        )
+
+    @pl.when(head)
+    def _():
+        in_copy(0, W + H, H).start()
+
+    @pl.when(jnp.logical_and(i > 0, i < nt - 1))
+    def _():
+        in_copy(pl.multiple_of(i * W - H, 128), Wf, 0).start()
+
+    @pl.when(jnp.logical_and(tail, i > 0))
+    def _():
+        in_copy(t - W - H, W + H, 0).start()
+
+    # previous cell's output copy must land before we overwrite ob
+    @pl.when(g > 0)
+    def _():
+        pltpu.make_async_copy(
+            ob, out_hbm.at[b, :, pl.ds(0, W)], out_sem
+        ).wait()
+
+    @pl.when(head)
+    def _():
+        in_copy(0, W + H, H).wait()
+
+    @pl.when(jnp.logical_and(i > 0, i < nt - 1))
+    def _():
+        in_copy(pl.multiple_of(i * W - H, 128), Wf, 0).wait()
+
+    @pl.when(jnp.logical_and(tail, i > 0))
+    def _():
+        in_copy(t - W - H, W + H, 0).wait()
+
+    # ---- edge fixups (static lane positions; head tile: time 0 at lane H,
+    # tail tile: time t at lane H + W)
+    def fix_replicate(ref):
+        @pl.when(head)
+        def _():
+            ref[:, 0:H] = jnp.broadcast_to(ref[:, H : H + 1], (c, H))
+
+        @pl.when(tail)
+        def _():
+            ref[:, H + W :] = jnp.broadcast_to(
+                ref[:, H + W - 1 : H + W], (c, H)
+            )
+
+    def fix_zero(ref):
+        @pl.when(head)
+        def _():
+            ref[:, 0:H] = jnp.zeros((c, H), ref.dtype)
+
+        @pl.when(tail)
+        def _():
+            ref[:, H + W :] = jnp.zeros((c, H), ref.dtype)
+
+    def fix_v_phases():
+        # reference-exact: DownSample1d replicate-pads the post-snake 2x
+        # signal 5/6 -> in polyphase terms (ops/anti_alias.py docstring):
+        # head: v_e[-1..-2] = v_o[-1..-3] = v_e[0]
+        # tail: v_e[t..t+2] = v_o[t..t+2] = v_o[t-1]
+        @pl.when(head)
+        def _():
+            row = pe[:, H : H + 1]
+            pe[:, H - 2 : H] = jnp.broadcast_to(row, (c, 2))
+            po[:, H - 3 : H] = jnp.broadcast_to(row, (c, 3))
+
+        @pl.when(tail)
+        def _():
+            row = po[:, H + W - 1 : H + W]
+            pe[:, H + W : H + W + 3] = jnp.broadcast_to(row, (c, 3))
+            po[:, H + W : H + W + 3] = jnp.broadcast_to(row, (c, 3))
+
+    # ---- ops on whole planes
+    def act(src_ref, a_col, ib_col, dst_ref):
+        fix_replicate(src_ref)
+        x = src_ref[...].astype(jnp.float32)
+        sh = {m: _roll(x, m) for m in range(-3, 4)}
+        u_e = jnp.zeros_like(x)
+        u_o = jnp.zeros_like(x)
+        for ii in range(6):
+            u_e = u_e + np.float32(2.0 * _F[2 * ii + 1]) * sh[2 - ii]
+            u_o = u_o + np.float32(2.0 * _F[2 * ii]) * sh[3 - ii]
+        s_e = _fast_sin(u_e * a_col)
+        s_o = _fast_sin(u_o * a_col)
+        pe[...] = u_e + ib_col * s_e * s_e
+        po[...] = u_o + ib_col * s_o * s_o
+        fix_v_phases()
+        ve = pe[...]
+        vo = po[...]
+        y = jnp.zeros_like(x)
+        for ii in range(6):
+            y = y + np.float32(_F[2 * ii + 1]) * _roll(ve, ii - 2)
+            y = y + np.float32(_F[2 * ii]) * _roll(vo, ii - 3)
+        dst_ref[...] = y
+
+    def conv(src_ref, w_ref, b_col, d: int, k: int, dst_ref):
+        fix_zero(src_ref)
+        x = src_ref[...].astype(jnp.float32)
+        y = None
+        half = (k - 1) // 2
+        for tap in range(k):
+            a_mat = w_ref[tap].astype(mm_dtype)
+            # roll in f32 (TPU lane rotate is 32-bit only), cast for the MXU
+            term = jnp.dot(
+                a_mat,
+                _roll(x, (tap - half) * d).astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            y = term if y is None else y + term
+        dst_ref[...] = y + b_col
+
+    def col(ref, j):
+        return ref[:, j : j + 1]
+
+    # ---- stage chain: acc = mean_b AMPBlock_b(x)
+    x_in = scratch[...].astype(jnp.float32)
+    conv_i = 0
+    act_i = 0
+    for bi, (k, dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
+        xb[...] = x_in
+        for d in dils:
+            act(xb, col(a_ref, act_i), col(ib_ref, act_i), t1)
+            act_i += 1
+            conv(t1, w_refs[conv_i], col(b_ref, conv_i), d, k, t1)
+            conv_i += 1
+            act(t1, col(a_ref, act_i), col(ib_ref, act_i), t1)
+            act_i += 1
+            conv(t1, w_refs[conv_i], col(b_ref, conv_i), 1, k, t1)
+            conv_i += 1
+            xb[...] = xb[...] + t1[...]
+        if bi == 0:
+            acc[...] = xb[...]
+        else:
+            acc[...] = acc[...] + xb[...]
+
+    # ---- output: average, cast, DMA the valid window
+    acc[...] = acc[...] * np.float32(1.0 / len(spec.kernel_sizes))
+
+    ob[...] = acc[:, H : H + W].astype(ob.dtype)
+    out_lo = jnp.where(tail, t - W, i * W)
+    pltpu.make_async_copy(
+        ob,
+        out_hbm.at[b, :, pl.ds(pl.multiple_of(out_lo, 128), W)],
+        out_sem,
+    ).start()
+
+    @pl.when(g == pl.num_programs(0) * nt - 1)
+    def _():
+        pltpu.make_async_copy(
+            ob,
+            out_hbm.at[b, :, pl.ds(pl.multiple_of(out_lo, 128), W)],
+            out_sem,
+        ).wait()
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+def stage_reference(x: jnp.ndarray, packed: dict, spec: StageSpec) -> jnp.ndarray:
+    """Unfused XLA oracle on channels-last [B, T, C], from packed params.
+
+    Mirrors AMPBlock1 chains (models/bigvgan.py AMPBlock1) but consumes the
+    pre-materialised weights, so fused vs reference use identical numbers.
+    """
+    filt = jnp.asarray(_FILT)
+    conv_i = 0
+    act_i = 0
+    acc = None
+    for k, dils in zip(spec.kernel_sizes, spec.dilations):
+        xb = x
+        for d in dils:
+            y = xb
+            for which_d in (d, 1):
+                # act
+                a = packed["a"][:, act_i]
+                ib = packed["ib"][:, act_i]
+                act_i += 1
+                u = upsample1d(y, filt, 2, 12)
+                s = jnp.sin(u * a)
+                v = u + ib * s * s
+                y = downsample1d(v, filt, 2, 12)
+                # conv (zero-pad same)
+                w = jnp.transpose(packed["w"][conv_i], (0, 2, 1))  # [k, ci, co]
+                b_ = packed["b"][:, conv_i]
+                conv_i += 1
+                pad = which_d * (k - 1) // 2
+                y = (
+                    jax.lax.conv_general_dilated(
+                        y,
+                        w.astype(y.dtype),
+                        (1,),
+                        [(pad, pad)],
+                        rhs_dilation=(which_d,),
+                        dimension_numbers=("NWC", "WIO", "NWC"),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    + b_
+                )
+            xb = xb + y
+        acc = xb if acc is None else acc + xb
+    return acc / len(spec.kernel_sizes)
+
+
+@partial(jax.jit, static_argnames=("spec", "interpret", "tile_w"))
+def fused_amp_stage(
+    x: jnp.ndarray,
+    packed: dict,
+    spec: StageSpec,
+    interpret: bool = False,
+    tile_w: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, T, C] channels-last -> [B, T, C], one fused stage.
+
+    Internally transposes to [B, C, T] ONCE each way (vs per-op in the
+    unfused path), runs the Pallas kernel over the 128-aligned prefix and
+    recomputes the ragged tail with the XLA oracle on a short slice.
+    """
+    bsz, t, c = x.shape
+    H = 128  # > stage receptive field (96 at k<=11, d<=5), 128-aligned
+    assert spec.receptive < H, "halo must cover the stage receptive field"
+    W = tile_w or (2048 if x.dtype == jnp.bfloat16 else 1024)
+    tk = t - t % 128
+    if t < W + 128 or tk < W + 128:
+        return stage_reference(x, packed, spec)
+
+    # Fold g batch elements into the sublane (channel) axis so the per-tap
+    # [C,C] matmuls fill the 128-wide MXU tile: [B,C,T] -> [B/g, g*C, T] is
+    # a FREE reshape (row-major contiguous), weights become block-diagonal
+    # kron(I_g, w). At C=24 this cuts padded MXU FLOPs ~4x; the block zeros
+    # are the residual waste (g*C^2 logical vs (g*C)^2 padded per tap).
+    g = 1
+    for cand in range(min(bsz, 128 // c), 0, -1):
+        if bsz % cand == 0:
+            g = cand
+            break
+    x_cf = jnp.transpose(x, (0, 2, 1)).reshape(bsz // g, g * c, t)
+    nt = pl.cdiv(tk, W)
+
+    n_convs = sum(2 * len(d) for d in spec.dilations)
+    dtype = x.dtype
+    Wf = W + 2 * H
+    const3 = lambda b_, i_: (0, 0, 0)
+    gc = g * c
+
+    def blockdiag(w):  # [k, co, ci] -> [k, g*co, g*ci]
+        if g == 1:
+            return w
+        eye = jnp.eye(g, dtype=w.dtype)
+        kk = w.shape[0]
+        return jnp.einsum("gh,koi->kgohi", eye, w).reshape(kk, gc, gc)
+
+    def tile_cols(m):  # [c, n] -> [g*c, n]
+        return jnp.tile(m, (g, 1)) if g > 1 else m
+
+    y_cf = pl.pallas_call(
+        partial(_kernel, spec=spec, W=W, H=H, t=tk, nt=nt),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, gc, tk), dtype),
+        grid=(bsz // g, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [
+            pl.BlockSpec((kk, gc, gc), const3, memory_space=pltpu.VMEM)
+            for kk in [
+                k
+                for k, dils in zip(spec.kernel_sizes, spec.dilations)
+                for _ in dils
+                for _ in range(2)
+            ]
+        ]
+        + [
+            pl.BlockSpec(
+                (gc, n_convs), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (gc, n_convs), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (gc, n_convs), lambda b_, i_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((gc, Wf), dtype),  # scratch (input tile)
+            pltpu.VMEM((gc, Wf), jnp.float32),  # acc
+            pltpu.VMEM((gc, Wf), jnp.float32),  # xb
+            pltpu.VMEM((gc, Wf), jnp.float32),  # t1
+            pltpu.VMEM((gc, Wf), jnp.float32),  # pe
+            pltpu.VMEM((gc, Wf), jnp.float32),  # po
+            pltpu.VMEM((gc, W), dtype),  # ob (output staging, dtype-cast)
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        x_cf,
+        *[blockdiag(w).astype(dtype) for w in packed["w"]],
+        tile_cols(packed["b"]),
+        tile_cols(packed["a"]),
+        tile_cols(packed["ib"]),
+    )
+    y = jnp.transpose(y_cf.reshape(bsz, c, tk), (0, 2, 1))  # [B, tk, C]
+
+    e = t - tk
+    rf = spec.receptive + 16
+    patch_n = e + rf  # trailing rows to recompute exactly
+    slice_n = min(t, patch_n + rf + 64)
+    tail = stage_reference(x[:, -slice_n:, :], packed, spec)[:, -patch_n:, :]
+    y = jnp.concatenate([y[:, : t - patch_n, :], tail.astype(y.dtype)], axis=1)
+    return y

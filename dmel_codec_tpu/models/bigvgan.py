@@ -327,6 +327,89 @@ class BigVGAN(nn.Module):
         return jnp.clip(x, -1.0, 1.0)
 
 
+def bigvgan_apply_fused(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: BigVGANConfig,
+    *,
+    fuse_max_channels: int = 192,
+    tile_w: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving forward with whole-stage fused resblock groups.
+
+    Mathematically identical to `BigVGAN.apply` (merge_small_channels=False)
+    on the SAME param tree, but every upsample stage whose channel count is
+    <= `fuse_max_channels` runs its 3 parallel AMPBlock1 chains (18
+    anti-aliased snakes + 18 weight-normed convs + residuals + average) as
+    ONE Pallas pass (ops/stage_fused.py) — one HBM read+write per stage
+    instead of 36. Inference-only fast path (no custom VJP); training and
+    parity tests use the module forward. Reference analogue: the CUDA
+    kernel toggle fuses only the activation (bigvgan.py:279-286); fusing
+    the stage is what the TPU layout/bandwidth trade demands.
+    """
+    from dmel_codec_tpu.ops.stage_fused import (
+        StageSpec,
+        fused_amp_stage,
+        pack_stage,
+    )
+
+    block_cls = {"1": AMPBlock1, "2": AMPBlock2}[cfg.resblock]
+    nk = cfg.num_kernels
+
+    x = WNConv(
+        cfg.upsample_initial_channel, kernel_size=(7,), padding=3
+    ).apply({"params": params["conv_pre"]}, mel)
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        x = WNConvTranspose1d(
+            ch, kernel_size=k, stride=u, padding=(k - u) // 2
+        ).apply({"params": params[f"up_{i}"]}, x)
+        if cfg.resblock == "1" and ch <= fuse_max_channels:
+            spec = StageSpec(
+                channels=ch,
+                kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                dilations=tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                activation=cfg.activation,
+                logscale=cfg.snake_logscale,
+            )
+            packed = pack_stage(
+                [params[f"resblock_{i * nk + j}"] for j in range(nk)], spec
+            )
+            x = fused_amp_stage(x, packed, spec, tile_w=tile_w, interpret=interpret)
+        else:
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = block_cls(
+                    channels=ch,
+                    kernel_size=rk,
+                    dilation=tuple(rd),
+                    activation=cfg.activation,
+                    logscale=cfg.snake_logscale,
+                    use_pallas=cfg.use_pallas_kernel,
+                    exact_edges=cfg.pallas_exact_edges,
+                ).apply({"params": params[f"resblock_{i * nk + j}"]}, x)
+                xs = out if xs is None else xs + out
+            x = xs / nk
+
+    x = AliasFreeActivation(
+        cfg.activation,
+        cfg.snake_logscale,
+        cfg.use_pallas_kernel,
+        cfg.pallas_exact_edges,
+    ).apply({"params": params["act_post"]}, x)
+    x = WNConv(
+        1, kernel_size=(7,), padding=3, use_bias=cfg.use_bias_at_final
+    ).apply({"params": params["conv_post"]}, x)
+    x = x[..., 0]
+    if cfg.use_tanh_at_final:
+        return jnp.tanh(x)
+    return jnp.clip(x, -1.0, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint interop ("{'generator': state_dict}" format, ref :409-418)
 # ---------------------------------------------------------------------------

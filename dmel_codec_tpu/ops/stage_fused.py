@@ -378,7 +378,33 @@ def fused_amp_stage(
     assert spec.receptive < H, "halo must cover the stage receptive field"
     W = tile_w or (2048 if x.dtype == jnp.bfloat16 else 1024)
     tk = t - t % 128
-    if t < W + 128 or tk < W + 128:
+
+    # batch fold factor (see below) — needed for the VMEM estimate too
+    g = 1
+    for cand in range(min(bsz, 128 // c), 0, -1):
+        if bsz % cand == 0:
+            g = cand
+            break
+    gc_ = g * c
+    n_convs = sum(2 * len(d) for d in spec.dilations)
+
+    # VMEM guard: shrink the tile until the working set fits (Mosaic caps
+    # VMEM at 16 MiB; leave headroom for its own spills). Working set =
+    # input tile (dtype) + 5 f32 planes + output staging + block-diagonal
+    # weights + 3 param-column arrays.
+    def _vmem(w_lanes: int) -> int:
+        wf = w_lanes + 2 * H
+        isz = x.dtype.itemsize
+        planes = gc_ * wf * (isz + 5 * 4) + gc_ * w_lanes * isz
+        wbytes = sum(kk * gc_ * gc_ for kk in
+                     [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
+                      for _ in dl for _ in range(2)]) * isz
+        return planes + wbytes + 3 * gc_ * n_convs * 4
+
+    budget = 13 * 1024 * 1024
+    while W > 256 and _vmem(W) > budget:
+        W //= 2
+    if _vmem(W) > budget or t < W + 128 or tk < W + 128:
         return stage_reference(x, packed, spec)
 
     # Fold g batch elements into the sublane (channel) axis so the per-tap
@@ -386,15 +412,9 @@ def fused_amp_stage(
     # a FREE reshape (row-major contiguous), weights become block-diagonal
     # kron(I_g, w). At C=24 this cuts padded MXU FLOPs ~4x; the block zeros
     # are the residual waste (g*C^2 logical vs (g*C)^2 padded per tap).
-    g = 1
-    for cand in range(min(bsz, 128 // c), 0, -1):
-        if bsz % cand == 0:
-            g = cand
-            break
     x_cf = jnp.transpose(x, (0, 2, 1)).reshape(bsz // g, g * c, t)
     nt = pl.cdiv(tk, W)
 
-    n_convs = sum(2 * len(d) for d in spec.dilations)
     dtype = x.dtype
     Wf = W + 2 * H
     const3 = lambda b_, i_: (0, 0, 0)

@@ -96,3 +96,30 @@ def test_fused_edge_exactness():
     tail_err = np.abs(np.asarray(got)[:, -32:] - np.asarray(ref)[:, -32:]).max()
     assert head_err < 5e-4, f"head err {head_err:.2e}"
     assert tail_err < 5e-4, f"tail err {tail_err:.2e}"
+
+
+def test_bigvgan_apply_fused_matches_module():
+    """Full-vocoder fused forward == BigVGAN.apply on the same param tree."""
+    from dmel_codec_tpu.models.bigvgan import (
+        BigVGAN,
+        BigVGANConfig,
+        bigvgan_apply_fused,
+    )
+
+    cfg = BigVGANConfig(
+        num_mels=8,
+        upsample_initial_channel=96,
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        use_pallas_kernel=False,
+    )
+    model = BigVGAN(config=cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(7), (2, 600, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(8), mel[:1, :8])["params"]
+    ref = model.apply({"params": params}, mel)
+    got = bigvgan_apply_fused(
+        params, mel, cfg, fuse_max_channels=96, tile_w=512, interpret=True
+    )
+    assert got.shape == ref.shape
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 5e-4, f"max err {err:.2e}"

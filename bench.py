@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
-from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from dmel_codec_tpu.models.bigvgan import BigVGAN, BigVGANConfig, bigvgan_apply_fused
 from dmel_codec_tpu.models.codec import DMelCodec, DMelCodecConfig
 
 BASELINE_XRT = 50.0
@@ -91,8 +91,22 @@ def main() -> None:
             {"params": params}, indices, idx_lengths, noise, method=DMelCodec.decode
         )
 
+    # Whole-stage fused resblock groups for the C<=48 tail (ops/stage_fused):
+    # measured A/B at the headline shapes — s5 [16,96000,24] 48.6 vs 99.7 ms,
+    # s4 [16,48000,48] 47.6 vs 65.9 ms, s3 [16,24000,96] a wash, so the fuse
+    # cap sits at 48 channels. BENCH_FUSE=0 reverts to the per-op path.
+    fuse_max = int(os.environ.get("BENCH_FUSE_MAX", "48"))
+    use_fused_stages = (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("BENCH_FUSE", "1") == "1"
+    )
+
     @jax.jit
     def back(vparams, gen_mel):
+        if use_fused_stages:
+            return bigvgan_apply_fused(
+                vparams, gen_mel, vcfg, fuse_max_channels=fuse_max
+            )
         return vocoder.apply({"params": vparams}, gen_mel)
 
     @jax.jit

@@ -48,10 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 from dmel_codec_tpu.nn.resample import downsample1d, upsample1d
 from dmel_codec_tpu.nn.snake import snake, snake_beta
 from dmel_codec_tpu.nn.weight_norm import weight_norm_kernel
-from dmel_codec_tpu.ops.anti_alias import _FILT, _fast_sin
+from dmel_codec_tpu.ops.anti_alias import _BANDS, _FILT, _UP_STACK, _fast_sin
 
 _EPS = 1e-9
 _F = np.asarray(_FILT, np.float64)
+_BLK = 112  # banded-FIR output rows per MXU block (matches ops/anti_alias)
+_KW = 128  # banded-FIR input window rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -307,6 +309,353 @@ def _kernel(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
             out_hbm.at[b, :, pl.ds(pl.multiple_of(out_lo, 128), W)],
             out_sem,
         ).wait()
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: time on SUBLANES, channels on lanes
+# ---------------------------------------------------------------------------
+#
+# The v1 layout (time on lanes) makes every FIR tap and conv tap a LANE
+# rotate — a VPU pass per tap, ~16 rotate + 24 FMA passes per activation,
+# which measured VPU-issue-bound (~48 ms/stage at the flagship tail
+# shapes, 2.05x over unfused but 270x off the memory bound). With time on
+# sublanes a shift is a free static ROW slice, so:
+#   * activations run the production banded-FIR MXU form (ops/anti_alias):
+#     stacked up-band [2*_BLK,_KW] @ window, snake on the VPU, down-bands —
+#     measured 0.53 ms/act at s5 in the standalone act kernel;
+#   * conv taps are sublane-sliced reads + ONE right-matmul
+#     [rows, gc] @ [gc, gc] each — no rotates at all.
+# Validity bookkeeping: acts compute output rows [8, Wf-8) (banded blocks),
+# convs rows [32, Wf-32) (max tap offset 25 at k=11,d=5); the worst chain
+# shrinks 3*(8+32+8+32) = 240 rows per side, so the halo is H2=256.
+
+
+_H2 = 256  # v2 halo: >= worst-case validity shrink (240) and 128-aligned
+_ACT_IN = 8  # act block inset (window reaches 8 rows past the block)
+_CONV_IN = 32  # conv inset (max dilated tap offset 25, 8-row aligned)
+
+
+def _kernel_v2(*refs, spec: StageSpec, W: int, t: int, nt: int):
+    n_convs = sum(2 * len(d) for d in spec.dilations)
+    x_hbm = refs[0]
+    w_refs = refs[1 : 1 + n_convs]
+    up_ref, de_ref, do_ref = refs[1 + n_convs : 4 + n_convs]
+    b_ref, a_ref, ib_ref = refs[4 + n_convs : 7 + n_convs]
+    out_hbm = refs[7 + n_convs]
+    (scratch, acc, xb, t1a, t1b, pe, po, ob, in_sem, out_sem) = refs[7 + n_convs + 1 :]
+
+    H = _H2
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    g = b * nt + i
+    gc = scratch.shape[1]
+    Wf = W + 2 * H
+    head = i == 0
+    tail = i == nt - 1
+
+    f32_in = scratch.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.float32 if f32_in else jnp.bfloat16
+
+    m_up = up_ref[...]
+    d_e = de_ref[...]
+    d_o = do_ref[...]
+
+    # ---- input DMA (row windows; all offsets multiples of 128)
+    def in_copy(src_lo, rows_n, dst_lo):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src_lo, rows_n), :],
+            scratch.at[pl.ds(dst_lo, rows_n), :],
+            in_sem,
+        )
+
+    @pl.when(head)
+    def _():
+        in_copy(0, W + H, H).start()
+
+    @pl.when(jnp.logical_and(i > 0, i < nt - 1))
+    def _():
+        in_copy(pl.multiple_of(i * W - H, 128), Wf, 0).start()
+
+    @pl.when(jnp.logical_and(tail, i > 0))
+    def _():
+        in_copy(t - W - H, W + H, 0).start()
+
+    @pl.when(g > 0)
+    def _():
+        pltpu.make_async_copy(ob, out_hbm.at[b, pl.ds(0, W), :], out_sem).wait()
+
+    @pl.when(head)
+    def _():
+        in_copy(0, W + H, H).wait()
+
+    @pl.when(jnp.logical_and(i > 0, i < nt - 1))
+    def _():
+        in_copy(pl.multiple_of(i * W - H, 128), Wf, 0).wait()
+
+    @pl.when(jnp.logical_and(tail, i > 0))
+    def _():
+        in_copy(t - W - H, W + H, 0).wait()
+
+    # ---- edge fixups (head tile: time 0 at row H; tail: time t at H + W)
+    def fix_replicate(ref):
+        @pl.when(head)
+        def _():
+            ref[pl.ds(0, H), :] = jnp.broadcast_to(ref[H, :], (H, gc))
+
+        @pl.when(tail)
+        def _():
+            ref[pl.ds(H + W, H), :] = jnp.broadcast_to(ref[H + W - 1, :], (H, gc))
+
+    def fix_zero(ref):
+        @pl.when(head)
+        def _():
+            ref[pl.ds(0, H), :] = jnp.zeros((H, gc), ref.dtype)
+
+        @pl.when(tail)
+        def _():
+            ref[pl.ds(H + W, H), :] = jnp.zeros((H, gc), ref.dtype)
+
+    def fix_v_phases():
+        # DownSample1d replicate-pads the post-snake 2x signal 5/6 ->
+        # head: v_e[-1..-2] = v_o[-1..-3] = v_e[0]; tail: v_e[t..t+2] =
+        # v_o[t..t+2] = v_o[t-1] (same as v1 / ops/anti_alias fills).
+        @pl.when(head)
+        def _():
+            row = pe[H, :]
+            pe[pl.ds(H - 2, 2), :] = jnp.broadcast_to(row, (2, gc))
+            po[pl.ds(H - 3, 3), :] = jnp.broadcast_to(row, (3, gc))
+
+        @pl.when(tail)
+        def _():
+            row = po[H + W - 1, :]
+            pe[pl.ds(H + W, 3), :] = jnp.broadcast_to(row, (3, gc))
+            po[pl.ds(H + W, 3), :] = jnp.broadcast_to(row, (3, gc))
+
+    u_rows = Wf - 2 * _ACT_IN
+    n_blk = -(-u_rows // _BLK)
+
+    # The up blocks only cover v rows [8, Wf-8); the 8 guard rows at each
+    # end would otherwise feed uninitialised VMEM (NaN x a zero band
+    # coefficient is still NaN) into the down windows. Zero them once —
+    # the finite-but-wrong boundary rows stay >= 100 rows inside the
+    # halo's validity slack (worst-case chain shrink is 117 rows/side).
+    zg = jnp.zeros((_ACT_IN, gc), jnp.float32)
+    pe[pl.ds(0, _ACT_IN), :] = zg
+    po[pl.ds(0, _ACT_IN), :] = zg
+    pe[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
+    po[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
+
+    def act(src_ref, a_row, ib_row, dst_ref):
+        fix_replicate(src_ref)
+        # up + snake per block (banded MXU, production form)
+        for j in range(n_blk):
+            r0 = min(_ACT_IN + j * _BLK, Wf - _ACT_IN - _BLK)
+            w0 = r0 - _ACT_IN
+            win = src_ref[pl.ds(w0, _KW), :].astype(mm_dtype)
+            u = jnp.dot(
+                m_up.astype(mm_dtype), win,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            s = _fast_sin(u * a_row)
+            v = u + ib_row * s * s
+            pe[pl.ds(r0, _BLK), :] = v[:_BLK]
+            po[pl.ds(r0, _BLK), :] = v[_BLK:]
+        fix_v_phases()
+        for j in range(n_blk):
+            r0 = min(_ACT_IN + j * _BLK, Wf - _ACT_IN - _BLK)
+            w0 = r0 - _ACT_IN
+            ve = pe[pl.ds(w0, _KW), :].astype(mm_dtype)
+            vo = po[pl.ds(w0, _KW), :].astype(mm_dtype)
+            y = jnp.dot(
+                d_e.astype(mm_dtype), ve,
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + jnp.dot(
+                d_o.astype(mm_dtype), vo,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dst_ref[pl.ds(r0, _BLK), :] = y
+        # Zero the uncomputed guard rows: a later matmul contracts over the
+        # FULL window, and 0-coefficient x NaN (uninitialised VMEM) would
+        # poison whole blocks. Zeros are finite-wrong; the error spreads
+        # only by op reach (<= 117 rows/side, inside the halo slack).
+        dst_ref[pl.ds(0, _ACT_IN), :] = zg
+        dst_ref[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
+
+    rows_c = Wf - 2 * _CONV_IN
+    zgc = jnp.zeros((_CONV_IN, gc), jnp.float32)
+
+    def conv(src_ref, w_ref, b_row, d: int, k: int, dst_ref):
+        fix_zero(src_ref)
+        half = (k - 1) // 2
+        y = None
+        for tap in range(k):
+            off = (tap - half) * d
+            xs = src_ref[pl.ds(_CONV_IN + off, rows_c), :].astype(mm_dtype)
+            term = jnp.dot(
+                xs, w_ref[tap].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            y = term if y is None else y + term
+        dst_ref[pl.ds(_CONV_IN, rows_c), :] = y + b_row
+        dst_ref[pl.ds(0, _CONV_IN), :] = zgc
+        dst_ref[pl.ds(Wf - _CONV_IN, _CONV_IN), :] = zgc
+
+    def row(ref, j):
+        return ref[j, :]
+
+    # ---- stage chain: acc = mean_b AMPBlock_b(x)
+    conv_i = 0
+    act_i = 0
+    for bi, (k, dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
+        xb[...] = scratch[...].astype(jnp.float32)
+        for d in dils:
+            act(xb, row(a_ref, act_i), row(ib_ref, act_i), t1a)
+            act_i += 1
+            conv(t1a, w_refs[conv_i], row(b_ref, conv_i), d, k, t1b)
+            conv_i += 1
+            act(t1b, row(a_ref, act_i), row(ib_ref, act_i), t1a)
+            act_i += 1
+            conv(t1a, w_refs[conv_i], row(b_ref, conv_i), 1, k, t1b)
+            conv_i += 1
+            xb[...] = xb[...] + t1b[...]
+        if bi == 0:
+            acc[...] = xb[...]
+        else:
+            acc[...] = acc[...] + xb[...]
+
+    ob[...] = (acc[pl.ds(H, W), :] * np.float32(1.0 / len(spec.kernel_sizes))).astype(
+        ob.dtype
+    )
+    out_lo = jnp.where(tail, t - W, i * W)
+    pltpu.make_async_copy(
+        ob, out_hbm.at[b, pl.ds(pl.multiple_of(out_lo, 128), W), :], out_sem
+    ).start()
+
+    @pl.when(g == pl.num_programs(0) * nt - 1)
+    def _():
+        pltpu.make_async_copy(
+            ob, out_hbm.at[b, pl.ds(pl.multiple_of(out_lo, 128), W), :], out_sem
+        ).wait()
+
+
+@partial(jax.jit, static_argnames=("spec", "interpret", "tile_w"))
+def fused_amp_stage_v2(
+    x: jnp.ndarray,
+    packed: dict,
+    spec: StageSpec,
+    interpret: bool = False,
+    tile_w: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, T, C] -> [B, T, C], one fused stage — time-on-sublanes kernel."""
+    bsz, t, c = x.shape
+    H = _H2
+    assert 3 * (2 * _ACT_IN + 2 * _CONV_IN) <= H and spec.receptive < H
+    for k, dls in zip(spec.kernel_sizes, spec.dilations):
+        assert max(dls) * (k - 1) // 2 <= _CONV_IN - 1, (k, dls)
+    W = tile_w or 2048
+    tk = t - t % 128
+
+    g = 1
+    for cand in range(min(bsz, 128 // c), 0, -1):
+        if bsz % cand == 0:
+            g = cand
+            break
+    gc = g * c
+    n_convs = sum(2 * len(d) for d in spec.dilations)
+
+    def _vmem(w_rows: int) -> int:
+        wf = w_rows + 2 * H
+        isz = x.dtype.itemsize
+        lanes = -(-gc // 128) * 128
+        planes = wf * lanes * (isz + 5 * 4) + w_rows * lanes * isz
+        wbytes = sum(kk * gc * gc for kk in
+                     [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
+                      for _ in dl for _ in range(2)]) * isz
+        return planes + wbytes + 3 * (2 * _BLK * _KW) * 4 + 3 * n_convs * lanes * 4
+
+    budget = 13 * 1024 * 1024
+    while W > 256 and _vmem(W) > budget:
+        W //= 2
+    if _vmem(W) > budget or t < W + 128 or tk < W + 128:
+        return stage_reference(x, packed, spec)
+
+    # [B,T,C] -> [B/g, T, g*C]: g batch elements fold onto the lane axis
+    x_m = x.reshape(bsz // g, g, t, c).transpose(0, 2, 1, 3).reshape(bsz // g, t, gc)
+    nt = pl.cdiv(tk, W)
+    dtype = x.dtype
+    Wf = W + 2 * H
+
+    def blockdiag_r(w):  # [k, co, ci] -> [k, g*ci, g*co] (right-matmul form)
+        wt = jnp.transpose(w, (0, 2, 1))  # [k, ci, co]
+        if g == 1:
+            return wt
+        eye = jnp.eye(g, dtype=w.dtype)
+        kk = w.shape[0]
+        return jnp.einsum("gh,kio->kgiho", eye, wt).reshape(kk, gc, gc)
+
+    def tile_rows(m):  # [c, n] -> [n, g*c]
+        mt = jnp.transpose(m)
+        return jnp.tile(mt, (1, g)) if g > 1 else mt
+
+    const2 = lambda b_, i_: (0, 0)
+
+    y_m = pl.pallas_call(
+        partial(_kernel_v2, spec=spec, W=W, t=tk, nt=nt),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, tk, gc), dtype),
+        grid=(bsz // g, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [
+            pl.BlockSpec((kk, gc, gc), lambda b_, i_: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for kk in [
+                k
+                for k, dils in zip(spec.kernel_sizes, spec.dilations)
+                for _ in dils
+                for _ in range(2)
+            ]
+        ]
+        + [
+            pl.BlockSpec((2 * _BLK, _KW), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, _KW), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, _KW), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((Wf, gc), dtype),  # scratch (input tile)
+            pltpu.VMEM((Wf, gc), jnp.float32),  # acc
+            pltpu.VMEM((Wf, gc), jnp.float32),  # xb
+            pltpu.VMEM((Wf, gc), jnp.float32),  # t1a
+            pltpu.VMEM((Wf, gc), jnp.float32),  # t1b
+            pltpu.VMEM((Wf, gc), jnp.float32),  # pe (v even)
+            pltpu.VMEM((Wf, gc), jnp.float32),  # po (v odd)
+            pltpu.VMEM((W, gc), dtype),  # ob (output staging)
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        x_m,
+        *[blockdiag_r(w).astype(dtype) for w in packed["w"]],
+        jnp.asarray(_UP_STACK, jnp.float32),
+        jnp.asarray(_BANDS[2], jnp.float32),
+        jnp.asarray(_BANDS[3], jnp.float32),
+        tile_rows(packed["b"]),
+        tile_rows(packed["a"]),
+        tile_rows(packed["ib"]),
+    )
+    y = y_m.reshape(bsz // g, tk, g, c).transpose(0, 2, 1, 3).reshape(bsz, tk, c)
+
+    e = t - tk
+    rf = spec.receptive + 16
+    patch_n = e + rf
+    slice_n = min(t, patch_n + rf + 64)
+    tail_v = stage_reference(x[:, -slice_n:, :], packed, spec)[:, -patch_n:, :]
+    y = jnp.concatenate([y[:, : t - patch_n, :], tail_v.astype(y.dtype)], axis=1)
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmel_codec_tpu.models.bigvgan import AMPBlock1
-from dmel_codec_tpu.ops.stage_fused import StageSpec, fused_amp_stage, pack_stage, stage_reference
+from dmel_codec_tpu.ops.stage_fused import (
+    StageSpec,
+    fused_amp_stage,
+    fused_amp_stage_v2,
+    pack_stage,
+    stage_reference,
+)
 from dmel_codec_tpu.utils.profiling import timed_rep
 
 STAGES = {  # stage -> (T, C) at B=16 x 4 s
@@ -74,9 +80,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--tile", type=int, default=0)
     ap.add_argument("--skip-prod", action="store_true")
+    ap.add_argument("--impl", default="v1", choices=["v1", "v2"])
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     tile = args.tile or None
+    impl = fused_amp_stage_v2 if args.impl == "v2" else fused_amp_stage
 
     for s in [int(v) for v in args.stages.split(",")]:
         t, c = STAGES[s]
@@ -89,13 +97,13 @@ def main():
 
         # correctness on real hardware (bf16: loose tol)
         ref = stage_reference(x.astype(jnp.float32), packed, spec)
-        got = fused_amp_stage(x, packed, spec, tile_w=tile)
+        got = impl(x, packed, spec, tile_w=tile)
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
         scale = float(jnp.max(jnp.abs(ref)))
 
         t_fused = timed_rep(
             lambda z: jnp.mean(
-                fused_amp_stage(z, packed, spec, tile_w=tile).astype(jnp.float32)
+                impl(z, packed, spec, tile_w=tile).astype(jnp.float32)
             ),
             x,
         )

@@ -16,9 +16,12 @@ from dmel_codec_tpu.models.bigvgan import AMPBlock1
 from dmel_codec_tpu.ops.stage_fused import (
     StageSpec,
     fused_amp_stage,
+    fused_amp_stage_v2,
     pack_stage,
     stage_reference,
 )
+
+IMPLS = {"v1": fused_amp_stage, "v2": fused_amp_stage_v2}
 
 
 def _make_stage(c: int, rng_seed: int = 0):
@@ -71,27 +74,29 @@ def test_reference_matches_modules(c):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["v1", "v2"])
 @pytest.mark.parametrize("c", [24, 96])
 @pytest.mark.parametrize("t", [2048, 2000])  # aligned + ragged tail
-def test_fused_matches_reference(c, t):
+def test_fused_matches_reference(impl, c, t):
     spec, params = _make_stage(c)
     packed = pack_stage(params, spec)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, t, c), jnp.float32)
     ref = stage_reference(x, packed, spec)
-    got = fused_amp_stage(x, packed, spec, interpret=True, tile_w=512)
+    got = IMPLS[impl](x, packed, spec, interpret=True, tile_w=512)
     err = np.abs(np.asarray(got) - np.asarray(ref))
     # polynomial sin in the kernel: abs err < 4e-6 per act, ~36 ops chained
     assert err.max() < 5e-4, f"max err {err.max():.2e} at {np.unravel_index(err.argmax(), err.shape)}"
 
 
-def test_fused_edge_exactness():
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_fused_edge_exactness(impl):
     """First/last samples (replicate + zero pad paths) must match too."""
     c = 24
     spec, params = _make_stage(c, rng_seed=3)
     packed = pack_stage(params, spec)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 1664, c), jnp.float32)
     ref = stage_reference(x, packed, spec)
-    got = fused_amp_stage(x, packed, spec, interpret=True, tile_w=512)
+    got = IMPLS[impl](x, packed, spec, interpret=True, tile_w=512)
     head_err = np.abs(np.asarray(got)[:, :32] - np.asarray(ref)[:, :32]).max()
     tail_err = np.abs(np.asarray(got)[:, -32:] - np.asarray(ref)[:, -32:]).max()
     assert head_err < 5e-4, f"head err {head_err:.2e}"

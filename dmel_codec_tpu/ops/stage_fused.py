@@ -580,33 +580,46 @@ def fused_amp_stage_v2(
     if _vmem(W) > budget or t < W + 128 or tk < W + 128:
         return stage_reference(x, packed, spec)
 
-    # [B,T,C] -> [B/g, T, g*C]: g batch elements fold onto the lane axis
+    # [B,T,C] -> [B/g, T, g*C]: g batch elements fold onto the lane axis.
+    # Mosaic DMA windows must be 128-lane aligned, so the merged lane axis
+    # pads to the next 128 multiple (the pad fuses into the relayout write;
+    # padded lanes carry zeros through the whole chain: zero weights, zero
+    # alpha/beta columns).
+    L = -(-gc // 128) * 128
     x_m = x.reshape(bsz // g, g, t, c).transpose(0, 2, 1, 3).reshape(bsz // g, t, gc)
+    if L != gc:
+        x_m = jnp.pad(x_m, ((0, 0), (0, 0), (0, L - gc)))
     nt = pl.cdiv(tk, W)
     dtype = x.dtype
     Wf = W + 2 * H
 
-    def blockdiag_r(w):  # [k, co, ci] -> [k, g*ci, g*co] (right-matmul form)
+    def blockdiag_r(w):  # [k, co, ci] -> [k, L, L] (right-matmul form)
         wt = jnp.transpose(w, (0, 2, 1))  # [k, ci, co]
-        if g == 1:
-            return wt
-        eye = jnp.eye(g, dtype=w.dtype)
         kk = w.shape[0]
-        return jnp.einsum("gh,kio->kgiho", eye, wt).reshape(kk, gc, gc)
+        if g > 1:
+            eye = jnp.eye(g, dtype=w.dtype)
+            wt = jnp.einsum("gh,kio->kgiho", eye, wt).reshape(kk, gc, gc)
+        if L != gc:
+            wt = jnp.pad(wt, ((0, 0), (0, L - gc), (0, L - gc)))
+        return wt
 
-    def tile_rows(m):  # [c, n] -> [n, g*c]
+    def tile_rows(m):  # [c, n] -> [n, L]
         mt = jnp.transpose(m)
-        return jnp.tile(mt, (1, g)) if g > 1 else mt
+        if g > 1:
+            mt = jnp.tile(mt, (1, g))
+        if L != gc:
+            mt = jnp.pad(mt, ((0, 0), (0, L - gc)))
+        return mt
 
     const2 = lambda b_, i_: (0, 0)
 
     y_m = pl.pallas_call(
         partial(_kernel_v2, spec=spec, W=W, t=tk, nt=nt),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, tk, gc), dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, tk, L), dtype),
         grid=(bsz // g, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [
-            pl.BlockSpec((kk, gc, gc), lambda b_, i_: (0, 0, 0),
+            pl.BlockSpec((kk, L, L), lambda b_, i_: (0, 0, 0),
                          memory_space=pltpu.VMEM)
             for kk in [
                 k
@@ -619,20 +632,20 @@ def fused_amp_stage_v2(
             pl.BlockSpec((2 * _BLK, _KW), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, _KW), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, _KW), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_convs, gc), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_convs, L), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((Wf, gc), dtype),  # scratch (input tile)
-            pltpu.VMEM((Wf, gc), jnp.float32),  # acc
-            pltpu.VMEM((Wf, gc), jnp.float32),  # xb
-            pltpu.VMEM((Wf, gc), jnp.float32),  # t1a
-            pltpu.VMEM((Wf, gc), jnp.float32),  # t1b
-            pltpu.VMEM((Wf, gc), jnp.float32),  # pe (v even)
-            pltpu.VMEM((Wf, gc), jnp.float32),  # po (v odd)
-            pltpu.VMEM((W, gc), dtype),  # ob (output staging)
+            pltpu.VMEM((Wf, L), dtype),  # scratch (input tile)
+            pltpu.VMEM((Wf, L), jnp.float32),  # acc
+            pltpu.VMEM((Wf, L), jnp.float32),  # xb
+            pltpu.VMEM((Wf, L), jnp.float32),  # t1a
+            pltpu.VMEM((Wf, L), jnp.float32),  # t1b
+            pltpu.VMEM((Wf, L), jnp.float32),  # pe (v even)
+            pltpu.VMEM((Wf, L), jnp.float32),  # po (v odd)
+            pltpu.VMEM((W, L), dtype),  # ob (output staging)
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -647,6 +660,7 @@ def fused_amp_stage_v2(
         tile_rows(packed["a"]),
         tile_rows(packed["ib"]),
     )
+    y_m = y_m[:, :, :gc]
     y = y_m.reshape(bsz // g, tk, g, c).transpose(0, 2, 1, 3).reshape(bsz, tk, c)
 
     e = t - tk

@@ -332,9 +332,10 @@ def bigvgan_apply_fused(
     mel: jnp.ndarray,
     cfg: BigVGANConfig,
     *,
-    fuse_max_channels: int = 192,
+    fuse_max_channels: int = 96,
     tile_w: int | None = None,
     interpret: bool = False,
+    use_v2: bool = True,
 ) -> jnp.ndarray:
     """Serving forward with whole-stage fused resblock groups.
 
@@ -351,8 +352,11 @@ def bigvgan_apply_fused(
     from dmel_codec_tpu.ops.stage_fused import (
         StageSpec,
         fused_amp_stage,
+        fused_amp_stage_v2,
         pack_stage,
     )
+
+    stage_fn = fused_amp_stage_v2 if use_v2 else fused_amp_stage
 
     block_cls = {"1": AMPBlock1, "2": AMPBlock2}[cfg.resblock]
     nk = cfg.num_kernels
@@ -377,7 +381,7 @@ def bigvgan_apply_fused(
             packed = pack_stage(
                 [params[f"resblock_{i * nk + j}"] for j in range(nk)], spec
             )
-            x = fused_amp_stage(x, packed, spec, tile_w=tile_w, interpret=interpret)
+            x = stage_fn(x, packed, spec, tile_w=tile_w, interpret=interpret)
         else:
             xs = None
             for j, (rk, rd) in enumerate(

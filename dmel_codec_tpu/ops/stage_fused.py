@@ -577,6 +577,13 @@ def fused_amp_stage_v2(
     budget = 13 * 1024 * 1024
     while W > 256 and _vmem(W) > budget:
         W //= 2
+    # Interior-tile DMA windows reach (nt-1)*W + H rows: the last tile's
+    # remainder must be 0 or >= H or the window runs past the input (the
+    # same constraint ops/anti_alias._plan_tile enforces). Shed the short
+    # remainder onto the exact tail patch instead.
+    rem = tk % W
+    if 0 < rem < H:
+        tk -= rem
     if _vmem(W) > budget or t < W + 128 or tk < W + 128:
         return stage_reference(x, packed, spec)
 
@@ -664,7 +671,9 @@ def fused_amp_stage_v2(
     y = y_m.reshape(bsz // g, tk, g, c).transpose(0, 2, 1, 3).reshape(bsz, tk, c)
 
     e = t - tk
-    rf = spec.receptive + 16
+    # 160 > the 117-row effective boundary reach of the inset-quantised
+    # chain (> spec.receptive: block insets add up to 8 rows per op)
+    rf = 160
     patch_n = e + rf
     slice_n = min(t, patch_n + rf + 64)
     tail_v = stage_reference(x[:, -slice_n:, :], packed, spec)[:, -patch_n:, :]
@@ -767,6 +776,9 @@ def fused_amp_stage(
     budget = 13 * 1024 * 1024
     while W > 256 and _vmem(W) > budget:
         W //= 2
+    rem = tk % W  # interior DMA windows need remainder 0 or >= H (halo)
+    if 0 < rem < H:
+        tk -= rem
     if _vmem(W) > budget or t < W + 128 or tk < W + 128:
         return stage_reference(x, packed, spec)
 

@@ -91,11 +91,12 @@ def main() -> None:
             {"params": params}, indices, idx_lengths, noise, method=DMelCodec.decode
         )
 
-    # Whole-stage fused resblock groups for the C<=48 tail (ops/stage_fused):
-    # measured A/B at the headline shapes — s5 [16,96000,24] 48.6 vs 99.7 ms,
-    # s4 [16,48000,48] 47.6 vs 65.9 ms, s3 [16,24000,96] a wash, so the fuse
-    # cap sits at 48 channels. BENCH_FUSE=0 reverts to the per-op path.
-    fuse_max = int(os.environ.get("BENCH_FUSE_MAX", "48"))
+    # Whole-stage fused resblock groups for the C<=96 tail (ops/stage_fused
+    # v2, time-on-sublanes): standalone A/B at the headline shapes —
+    # s5 [16,96000,24] 36.3 ms, s4 [16,48000,48] 33.8, s3 [16,24000,96] 31.3
+    # (unfused production: 99.7 / 65.9 / 46.4). s2 (C=192) stays per-op: the
+    # block-diagonal weights alone exceed VMEM. BENCH_FUSE=0 reverts.
+    fuse_max = int(os.environ.get("BENCH_FUSE_MAX", "96"))
     use_fused_stages = (
         jax.devices()[0].platform == "tpu"
         and os.environ.get("BENCH_FUSE", "1") == "1"

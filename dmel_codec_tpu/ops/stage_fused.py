@@ -330,12 +330,30 @@ def _kernel(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
 # shrinks 3*(8+32+8+32) = 240 rows per side, so the halo is H2=256.
 
 
-_H2 = 256  # v2 halo: >= worst-case validity shrink (240) and 128-aligned
 _ACT_IN = 8  # act block inset (window reaches 8 rows past the block)
 _CONV_IN = 32  # conv inset (max dilated tap offset 25, 8-row aligned)
 
 
-def _kernel_v2(*refs, spec: StageSpec, W: int, t: int, nt: int):
+def _v2_reach(spec: StageSpec) -> int:
+    """Worst-case one-side validity shrink of the v2 chain.
+
+    Recurrence lo' = max(computed_from, lo + reach) per op: acts compute
+    rows [11, Wf-11) usefully (the two zeroed v-guard rows contaminate
+    [8, 11)) with reach 6; convs compute [32, Wf-32) with reach
+    d*(k-1)/2. Flagship spec -> 117 (fits a 128-row halo)."""
+    worst = 0
+    for k, dils in zip(spec.kernel_sizes, spec.dilations):
+        lo = 0
+        for d in dils:
+            lo = max(11, lo + 6)
+            lo = max(_CONV_IN, lo + d * (k - 1) // 2)
+            lo = max(11, lo + 6)
+            lo = max(_CONV_IN, lo + (k - 1) // 2)
+        worst = max(worst, lo)
+    return worst
+
+
+def _kernel_v2(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
     n_convs = sum(2 * len(d) for d in spec.dilations)
     x_hbm = refs[0]
     w_refs = refs[1 : 1 + n_convs]
@@ -344,7 +362,6 @@ def _kernel_v2(*refs, spec: StageSpec, W: int, t: int, nt: int):
     out_hbm = refs[7 + n_convs]
     (scratch, acc, xb, t1a, t1b, pe, po, ob, in_sem, out_sem) = refs[7 + n_convs + 1 :]
 
-    H = _H2
     b = pl.program_id(0)
     i = pl.program_id(1)
     g = b * nt + i
@@ -549,8 +566,9 @@ def fused_amp_stage_v2(
 ) -> jnp.ndarray:
     """[B, T, C] -> [B, T, C], one fused stage — time-on-sublanes kernel."""
     bsz, t, c = x.shape
-    H = _H2
-    assert 3 * (2 * _ACT_IN + 2 * _CONV_IN) <= H and spec.receptive < H
+    reach = _v2_reach(spec)
+    H = 128 if reach <= 128 else 256  # halo: covers the validity shrink
+    assert reach <= H and spec.receptive < H
     for k, dls in zip(spec.kernel_sizes, spec.dilations):
         assert max(dls) * (k - 1) // 2 <= _CONV_IN - 1, (k, dls)
     W = tile_w or 2048
@@ -621,7 +639,7 @@ def fused_amp_stage_v2(
     const2 = lambda b_, i_: (0, 0)
 
     y_m = pl.pallas_call(
-        partial(_kernel_v2, spec=spec, W=W, t=tk, nt=nt),
+        partial(_kernel_v2, spec=spec, W=W, H=H, t=tk, nt=nt),
         out_shape=jax.ShapeDtypeStruct((bsz // g, tk, L), dtype),
         grid=(bsz // g, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
@@ -671,9 +689,7 @@ def fused_amp_stage_v2(
     y = y_m.reshape(bsz // g, tk, g, c).transpose(0, 2, 1, 3).reshape(bsz, tk, c)
 
     e = t - tk
-    # 160 > the 117-row effective boundary reach of the inset-quantised
-    # chain (> spec.receptive: block insets add up to 8 rows per op)
-    rf = 160
+    rf = reach + 43  # boundary patch: effective reach + margin
     patch_n = e + rf
     slice_n = min(t, patch_n + rf + 64)
     tail_v = stage_reference(x[:, -slice_n:, :], packed, spec)[:, -patch_n:, :]

@@ -353,14 +353,23 @@ def _v2_reach(spec: StageSpec) -> int:
     return worst
 
 
-def _kernel_v2(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
+def _kernel_v2(
+    *refs, spec: StageSpec, W: int, H: int, t: int, nt: int, stream: bool = False
+):
     n_convs = sum(2 * len(d) for d in spec.dilations)
+    n_w = len(spec.kernel_sizes) if stream else n_convs
     x_hbm = refs[0]
-    w_refs = refs[1 : 1 + n_convs]
-    up_ref, de_ref, do_ref = refs[1 + n_convs : 4 + n_convs]
-    b_ref, a_ref, ib_ref = refs[4 + n_convs : 7 + n_convs]
-    out_hbm = refs[7 + n_convs]
-    (scratch, acc, xb, t1a, t1b, pe, po, ob, in_sem, out_sem) = refs[7 + n_convs + 1 :]
+    w_refs = refs[1 : 1 + n_w]
+    up_ref, de_ref, do_ref = refs[1 + n_w : 4 + n_w]
+    b_ref, a_ref, ib_ref = refs[4 + n_w : 7 + n_w]
+    out_hbm = refs[7 + n_w]
+    if stream:
+        (scratch, acc, xb, t1a, t1b, pe, po, ob, wbuf, in_sem, out_sem, wsem) = refs[
+            7 + n_w + 1 :
+        ]
+    else:
+        (scratch, acc, xb, t1a, t1b, pe, po, ob, in_sem, out_sem) = refs[7 + n_w + 1 :]
+        wbuf = wsem = None
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -502,7 +511,38 @@ def _kernel_v2(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
     rows_c = Wf - 2 * _CONV_IN
     zgc = jnp.zeros((_CONV_IN, gc), jnp.float32)
 
-    def conv(src_ref, w_ref, b_row, d: int, k: int, dst_ref):
+    # Weight access: resident mode reads the VMEM-resident block-diagonal
+    # stacks; streaming mode (C >= 128, where 18 resident [k,L,L] stacks
+    # would blow VMEM) DMAs ONE [L,L] tap matrix at a time from HBM into a
+    # 2-slot rotating buffer with depth-1 prefetch (the guide's canonical
+    # double-buffer: start fi+1, wait fi, compute fi — per-tap DMA ~L^2*2 B
+    # overlaps the ~2*W*L^2 FLOP tap matmul).
+    if stream:
+        _sched = []  # flat tap order == compute order of the chain below
+        for _gi, (_k, _dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
+            for _ri in range(2 * len(_dils)):
+                for _tap in range(_k):
+                    _sched.append((_gi, _ri, _tap))
+
+        def _w_dma(fi):
+            gi, ri, tap = _sched[fi]
+            slot = fi % 2
+            return pltpu.make_async_copy(
+                w_refs[gi].at[ri, tap], wbuf.at[slot], wsem.at[slot]
+            )
+
+        _w_dma(0).start()
+        _fi = [0]
+
+        def _next_w(_tap):
+            fi = _fi[0]
+            if fi + 1 < len(_sched):
+                _w_dma(fi + 1).start()
+            _w_dma(fi).wait()
+            _fi[0] = fi + 1
+            return wbuf[fi % 2]
+
+    def conv(src_ref, get_w, b_row, d: int, k: int, dst_ref):
         fix_zero(src_ref)
         half = (k - 1) // 2
         y = None
@@ -510,7 +550,7 @@ def _kernel_v2(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
             off = (tap - half) * d
             xs = src_ref[pl.ds(_CONV_IN + off, rows_c), :].astype(mm_dtype)
             term = jnp.dot(
-                xs, w_ref[tap].astype(mm_dtype),
+                xs, get_w(tap).astype(mm_dtype),
                 preferred_element_type=jnp.float32, precision=prec,
             )
             y = term if y is None else y + term
@@ -529,11 +569,13 @@ def _kernel_v2(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
         for d in dils:
             act(xb, row(a_ref, act_i), row(ib_ref, act_i), t1a)
             act_i += 1
-            conv(t1a, w_refs[conv_i], row(b_ref, conv_i), d, k, t1b)
+            gw = _next_w if stream else w_refs[conv_i].__getitem__
+            conv(t1a, gw, row(b_ref, conv_i), d, k, t1b)
             conv_i += 1
             act(t1b, row(a_ref, act_i), row(ib_ref, act_i), t1a)
             act_i += 1
-            conv(t1a, w_refs[conv_i], row(b_ref, conv_i), 1, k, t1b)
+            gw = _next_w if stream else w_refs[conv_i].__getitem__
+            conv(t1a, gw, row(b_ref, conv_i), 1, k, t1b)
             conv_i += 1
             xb[...] = xb[...] + t1b[...]
         if bi == 0:
@@ -581,15 +623,24 @@ def fused_amp_stage_v2(
             break
     gc = g * c
     n_convs = sum(2 * len(d) for d in spec.dilations)
+    # C >= 128: the 18 resident block-diagonal weight stacks would need
+    # 9-37 MB of VMEM — stream [L,L] tap matrices from HBM instead (the
+    # per-tile weight re-traffic, sum(k)*L^2*isz, hides under the tap
+    # matmuls for W >= 512).
+    stream = -(-gc // 128) * 128 > 128
 
     def _vmem(w_rows: int) -> int:
         wf = w_rows + 2 * H
         isz = x.dtype.itemsize
         lanes = -(-gc // 128) * 128
-        planes = wf * lanes * (isz + 5 * 4) + w_rows * lanes * isz
-        wbytes = sum(kk * gc * gc for kk in
-                     [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
-                      for _ in dl for _ in range(2)]) * isz
+        if stream:
+            planes = wf * lanes * (isz + 6 * 4) + w_rows * lanes * isz
+            wbytes = 2 * lanes * lanes * isz
+        else:
+            planes = wf * lanes * (isz + 5 * 4) + w_rows * lanes * isz
+            wbytes = sum(kk * gc * gc for kk in
+                         [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
+                          for _ in dl for _ in range(2)]) * isz
         return planes + wbytes + 3 * (2 * _BLK * _KW) * 4 + 3 * n_convs * lanes * 4
 
     budget = 13 * 1024 * 1024
@@ -638,12 +689,24 @@ def fused_amp_stage_v2(
 
     const2 = lambda b_, i_: (0, 0)
 
-    y_m = pl.pallas_call(
-        partial(_kernel_v2, spec=spec, W=W, H=H, t=tk, nt=nt),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, tk, L), dtype),
-        grid=(bsz // g, nt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        + [
+    if stream:
+        w_in = []
+        ci = 0
+        for k, dils in zip(spec.kernel_sizes, spec.dilations):
+            rows = [
+                blockdiag_r(packed["w"][ci + j]).astype(dtype)
+                for j in range(2 * len(dils))
+            ]
+            ci += 2 * len(dils)
+            w_in.append(jnp.stack(rows))  # [2*len(dils), k, L, L]
+        w_specs = [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM) for _ in w_in
+        ]
+        w_scratch = [pltpu.VMEM((2, L, L), dtype)]
+        w_sems = [pltpu.SemaphoreType.DMA((2,))]
+    else:
+        w_in = [blockdiag_r(w).astype(dtype) for w in packed["w"]]
+        w_specs = [
             pl.BlockSpec((kk, L, L), lambda b_, i_: (0, 0, 0),
                          memory_space=pltpu.VMEM)
             for kk in [
@@ -653,6 +716,15 @@ def fused_amp_stage_v2(
                 for _ in range(2)
             ]
         ]
+        w_scratch = []
+        w_sems = []
+
+    y_m = pl.pallas_call(
+        partial(_kernel_v2, spec=spec, W=W, H=H, t=tk, nt=nt, stream=stream),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, tk, L), dtype),
+        grid=(bsz // g, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + w_specs
         + [
             pl.BlockSpec((2 * _BLK, _KW), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, _KW), const2, memory_space=pltpu.VMEM),
@@ -671,13 +743,17 @@ def fused_amp_stage_v2(
             pltpu.VMEM((Wf, L), jnp.float32),  # pe (v even)
             pltpu.VMEM((Wf, L), jnp.float32),  # po (v odd)
             pltpu.VMEM((W, L), dtype),  # ob (output staging)
+        ]
+        + w_scratch  # wbuf (stream mode: 2-slot tap rotation)
+        + [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+        + w_sems,
         interpret=interpret,
     )(
         x_m,
-        *[blockdiag_r(w).astype(dtype) for w in packed["w"]],
+        *w_in,
         jnp.asarray(_UP_STACK, jnp.float32),
         jnp.asarray(_BANDS[2], jnp.float32),
         jnp.asarray(_BANDS[3], jnp.float32),

@@ -518,6 +518,11 @@ def _kernel_v2(
     # double-buffer: start fi+1, wait fi, compute fi — per-tap DMA ~L^2*2 B
     # overlaps the ~2*W*L^2 FLOP tap matmul).
     if stream:
+        # ORDER CONTRACT: _sched must enumerate taps in EXACTLY the order
+        # the chain loop below consumes them via _next_w — resblock-major
+        # (bi), then conv-in-chain (ri = 2*dil_index + {0: dilated, 1:
+        # dense}), then tap. The trace-time assert after the chain loop
+        # catches any count drift if the chain is ever reordered.
         _sched = []  # flat tap order == compute order of the chain below
         for _gi, (_k, _dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
             for _ri in range(2 * len(_dils)):
@@ -583,6 +588,10 @@ def _kernel_v2(
         else:
             acc[...] = acc[...] + xb[...]
 
+    # trace-time invariant: streaming consumed every scheduled tap exactly
+    # once (guards the _sched/chain order contract above)
+    assert not stream or _fi[0] == len(_sched), (_fi[0], len(_sched))
+
     ob[...] = (acc[pl.ds(H, W), :] * np.float32(1.0 / len(spec.kernel_sizes))).astype(
         ob.dtype
     )
@@ -623,21 +632,22 @@ def fused_amp_stage_v2(
             break
     gc = g * c
     n_convs = sum(2 * len(d) for d in spec.dilations)
-    # C >= 128: the 18 resident block-diagonal weight stacks would need
-    # 9-37 MB of VMEM — stream [L,L] tap matrices from HBM instead (the
-    # per-tile weight re-traffic, sum(k)*L^2*isz, hides under the tap
-    # matmuls for W >= 512).
-    stream = -(-gc // 128) * 128 > 128
+    # gc > 128 (i.e. L >= 256): the 18 resident block-diagonal weight
+    # stacks would need 9-37 MB of VMEM — stream [L,L] tap matrices from
+    # HBM instead (the per-tile weight re-traffic, sum(k)*L^2*isz, hides
+    # under the tap matmuls for W >= 512). gc == 128 stays resident.
+    stream = gc > 128
 
     def _vmem(w_rows: int) -> int:
         wf = w_rows + 2 * H
         isz = x.dtype.itemsize
         lanes = -(-gc // 128) * 128
+        # 6 f32 planes either way: acc, xb, t1a, t1b, pe, po
         if stream:
             planes = wf * lanes * (isz + 6 * 4) + w_rows * lanes * isz
             wbytes = 2 * lanes * lanes * isz
         else:
-            planes = wf * lanes * (isz + 5 * 4) + w_rows * lanes * isz
+            planes = wf * lanes * (isz + 6 * 4) + w_rows * lanes * isz
             wbytes = sum(kk * gc * gc for kk in
                          [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
                           for _ in dl for _ in range(2)]) * isz

@@ -103,6 +103,27 @@ def test_fused_edge_exactness(impl):
     assert tail_err < 5e-4, f"tail err {tail_err:.2e}"
 
 
+@pytest.mark.parametrize("t", [1024, 2000])  # aligned + ragged tail
+def test_fused_v2_streaming_weights_matches_reference(t):
+    """gc > 128 dispatches the streaming-weights kernel branch (ref
+    unpacking, 2-slot DMA rotation, _sched/compute order coupling) — parity
+    incl. the ragged tail and both edges. s2 (C=192) is the production
+    target shape class."""
+    c = 192
+    spec, params = _make_stage(c, rng_seed=5)
+    packed = pack_stage(params, spec)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, t, c), jnp.float32)
+    ref = stage_reference(x, packed, spec)
+    got = fused_amp_stage_v2(x, packed, spec, interpret=True, tile_w=512)
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.max() < 5e-4, f"max err {err.max():.2e}"
+    # replicate/zero edge semantics at both boundaries
+    head_err = err[:, :32].max()
+    tail_err = err[:, -32:].max()
+    assert head_err < 5e-4, f"head err {head_err:.2e}"
+    assert tail_err < 5e-4, f"tail err {tail_err:.2e}"
+
+
 def test_bigvgan_apply_fused_matches_module():
     """Full-vocoder fused forward == BigVGAN.apply on the same param tree."""
     from dmel_codec_tpu.models.bigvgan import (

@@ -10,6 +10,7 @@ val_max_duration, seed}. Auto-resumes from the newest checkpoint.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import jax
 
@@ -27,10 +28,24 @@ log = RankedLogger(__name__)
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train the dMel codec (GAN)")
     parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: jax.distributed.initialize before touching devices "
+        "(rendezvous details come from the config's `distributed:` section "
+        "or pod auto-detection)",
+    )
     args = parser.parse_args(argv)
 
     cfg = load_yaml(args.config)
     log.info("config:\n" + print_config_tree(cfg))
+
+    from dmel_codec_tpu.parallel.multihost import DistributedConfig, initialize
+
+    dist_cfg = dataclass_from_dict(DistributedConfig, cfg.get("distributed"))
+    if args.distributed:
+        dist_cfg = dataclasses.replace(dist_cfg, enabled=True)
+    initialize(dist_cfg)
 
     codec_cfg = dataclass_from_dict(DMelCodecConfig, cfg.get("model"))
     train_cfg = dataclass_from_dict(CodecTrainConfig, cfg.get("train"))

@@ -10,6 +10,7 @@ and a HF tokenizer path (byte-tokenizer fallback otherwise).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import jax
 
@@ -33,10 +34,24 @@ log = RankedLogger(__name__)
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train the slow-fast LM")
     parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: jax.distributed.initialize before touching devices "
+        "(rendezvous details come from the config's `distributed:` section "
+        "or pod auto-detection)",
+    )
     args = parser.parse_args(argv)
 
     cfg = load_yaml(args.config)
     log.info("config:\n" + print_config_tree(cfg))
+
+    from dmel_codec_tpu.parallel.multihost import DistributedConfig, initialize
+
+    dist_cfg = dataclass_from_dict(DistributedConfig, cfg.get("distributed"))
+    if args.distributed:
+        dist_cfg = dataclasses.replace(dist_cfg, enabled=True)
+    initialize(dist_cfg)
 
     lm_cfg = build_lm_config(cfg)
     train_cfg = dataclass_from_dict(LMTrainConfig, cfg.get("train"))

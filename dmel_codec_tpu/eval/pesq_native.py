@@ -24,8 +24,24 @@ degradations are scored on the same perceptual scale with the published
 constants (0.1/0.0309 disturbance weights, 1.3669/3.8224 logistic).
 Agreement with the ITU tool on its conformance corpus is NOT claimed —
 tests pin the max score, level/delay invariance and strict monotonicity
-in noise and bandwidth (tests/test_pesq_native.py). When the real `pesq`
-package is importable it is preferred automatically (eval/external.py).
+in noise, bandwidth, mel-resynthesis smoothing and FSQ-style quantization
+(tests/test_pesq_native.py). When the real `pesq` package is importable
+it is preferred automatically (eval/external.py).
+
+Expected deviation envelope vs the ITU tool: the scale is anchored on
+five approximate speech+white-noise points from published wb-PESQ curves
+(scripts/fit_pesq.py; fit residual <= ~0.15 MOS on those points), so
+white-noise-like degradations should land within a few tenths of a MOS of
+the ITU tool, while structurally different degradations (bandwidth
+truncation in particular, which this implementation scores leniently)
+can deviate by 1+ MOS in absolute value. RANK orderings are the supported
+contract: measured on a ten-condition codec-realistic set (mel-resynthesis
+at 80/40/20 bands, FSQ-style log-mel quantization at 7/3 levels, lowpass
+3k/1k, additive noise 20/5 dB SNR), Spearman(PESQ, STOI) = 0.98 and
+Spearman(PESQ, -mel-L1) = 0.95 excluding the lowpass family (0.48 with it
+— mel-L1 over-penalizes bandwidth truncation; both perceptual metrics
+agree it is mild). Use deltas/orderings of this metric, not absolute
+cross-tool comparisons.
 """
 
 from __future__ import annotations

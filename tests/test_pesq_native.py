@@ -89,6 +89,107 @@ def test_in_range():
     assert 1.0 <= s <= 4.65, s
 
 
+def _mel_resynth(x, n_mels, fs=FS, quant_levels=0):
+    """Codec-realistic degradation: STFT magnitude -> mel analysis ->
+    (optional FSQ-style uniform quantization of the log-mel, matching the
+    quantizer's levels-(7,5,5) rounding) -> mel pseudo-inverse -> ISTFT
+    with the ORIGINAL phase. This is exactly the information bottleneck a
+    mel-domain codec (the dMel pipeline) imposes: spectral smoothing from
+    the mel projection plus quantization noise, without needing trained
+    vocoder weights. Fewer mel bands / fewer levels = coarser codec."""
+    from scipy.signal import istft, stft
+
+    from dmel_codec_tpu.dsp.mel import mel_filterbank
+
+    f, t, Z = stft(x, fs=fs, nperseg=512, noverlap=384)
+    mag, phase = np.abs(Z), np.angle(Z)
+    fb = mel_filterbank(fs, 512, n_mels, 0.0, fs / 2)  # [n_mels, 257]
+    mel = fb @ mag
+    if quant_levels:
+        floor = mel.max() * 1e-5  # -100 dB dynamic range, like the codec
+        logm = np.log(np.maximum(mel, floor))
+        lo, hi = logm.min(), logm.max()
+        step = (hi - lo) / (quant_levels - 1)
+        logm = np.round((logm - lo) / step) * step + lo
+        mel = np.exp(logm)
+    # least-squares pseudo-inverse back to linear frequency
+    mag_rec = np.maximum(np.linalg.pinv(fb) @ mel, 0.0)
+    _, y = istft(mag_rec * np.exp(1j * phase), fs=fs, nperseg=512, noverlap=384)
+    return y[: len(x)]
+
+
+def test_codec_degradations_monotone():
+    """PESQ must order codec-style degradations correctly: more mel bands
+    and finer quantization always score at least as high."""
+    x = _speechish()
+    # mel-resynthesis ladder: narrower filterbanks smooth more
+    mel_scores = [pesq_wb(x, _mel_resynth(x, m)) for m in (80, 40, 20)]
+    assert mel_scores[0] > mel_scores[1] > mel_scores[2], mel_scores
+    # FSQ-style quantization ladder at fixed bands: fewer levels = worse
+    q_scores = [
+        pesq_wb(x, _mel_resynth(x, 80, quant_levels=q)) for q in (25, 7, 3)
+    ]
+    assert q_scores[0] > q_scores[1] > q_scores[2], q_scores
+    # both ladders stay on the usable scale
+    for s in mel_scores + q_scores:
+        assert 1.0 <= s <= 4.65, (mel_scores, q_scores)
+
+
+def _spearman(a, b):
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+
+def test_rank_correlation_vs_mel_l1_and_stoi_on_codec_outputs():
+    """Across a mixed set of codec-realistic degradations (mel smoothing,
+    FSQ quantization noise, lowpass, additive noise), native PESQ must
+    rank-agree with the other native quality signals. This is the
+    supported use of the uncalibrated scale (see the honesty note):
+    orderings, not absolute ITU MOS values.
+
+    Measured on this set (2026-08): Spearman(PESQ, STOI) = 0.98 over all
+    ten conditions; Spearman(PESQ, -mel-L1) = 0.95 off the lowpass family
+    but 0.48 with it included — mel-L1 over-penalizes pure bandwidth
+    truncation (the removed band contributes log-floor deltas across many
+    mel rows) while BOTH perceptual metrics score it mild, so the
+    divergence is a property of mel-L1, and the assertions below encode
+    exactly that."""
+    from scipy.signal import butter, sosfilt
+
+    from dmel_codec_tpu.eval.metrics import mel_l1_distance, stoi
+
+    x = _speechish(3.0)
+    degraded = [
+        x,
+        _mel_resynth(x, 80),
+        _mel_resynth(x, 40),
+        _mel_resynth(x, 20),
+        _mel_resynth(x, 80, quant_levels=7),
+        _mel_resynth(x, 80, quant_levels=3),
+        _snr_mix(x, 20),
+        _snr_mix(x, 5),
+    ]
+    lowpass = [
+        sosfilt(butter(6, 3000 / (FS / 2), output="sos"), x),
+        sosfilt(butter(6, 1000 / (FS / 2), output="sos"), x),
+    ]
+    pesq_s = np.array([pesq_wb(x, y) for y in degraded])
+    mel_s = np.array([-mel_l1_distance(x, y, FS) for y in degraded])
+    stoi_s = np.array([stoi(x, y, FS) for y in degraded])
+    r_mel = _spearman(pesq_s, mel_s)
+    assert r_mel >= 0.75, (r_mel, list(zip(pesq_s, mel_s)))
+    # STOI agrees across ALL conditions including the lowpass family
+    all_d = degraded + lowpass
+    pesq_all = np.concatenate([pesq_s, [pesq_wb(x, y) for y in lowpass]])
+    stoi_all = np.concatenate([stoi_s, [stoi(x, y, FS) for y in lowpass]])
+    r_stoi = _spearman(pesq_all, stoi_all)
+    assert r_stoi >= 0.9, (r_stoi, list(zip(pesq_all, stoi_all)))
+    assert len(all_d) == 10
+
+
 def test_harness_column_without_external_packages():
     """Evaluation.step emits a pesq column with zero external deps
     (VERDICT r2 Missing #1): pesq_wb_16k falls back to the native path."""

@@ -37,7 +37,8 @@ def main() -> None:
     cfg = DMelCodecConfig(compute_dtype="bfloat16")
     vcfg = BigVGANConfig(
         use_pallas_kernel=jax.devices()[0].platform == "tpu",
-        pallas_exact_edges=False,  # serving: skip 3-frame boundary patch
+        # (pallas_exact_edges is a documented no-op since the round-3 kernel
+        # rewrite — the kernel computes exact replicate edges in-kernel.)
         # Merged small-C tail (block-diagonal dense convs on a [B/g,T,g*C]
         # layout) was A/B'd end-to-end and LOSES at the headline shapes
         # (187.7 vs 254.1 xRT): the per-stage refolds + g-times conv FLOPs

@@ -332,6 +332,8 @@ def _kernel(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
 
 _ACT_IN = 8  # act block inset (window reaches 8 rows past the block)
 _CONV_IN = 32  # conv inset (max dilated tap offset 25, 8-row aligned)
+_CBLK = 512  # conv row-block: bounds the per-tap xs/term/y temporaries
+#              to ~cb*L*10 B of scoped VMEM instead of ~Wf*L*10 B
 
 
 def _v2_reach(spec: StageSpec) -> int:
@@ -382,6 +384,12 @@ def _kernel_v2(
     f32_in = scratch.dtype == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT
     mm_dtype = jnp.float32 if f32_in else jnp.bfloat16
+    # inter-op planes (t1a/t1b/pe/po) carry the INPUT dtype: in bf16
+    # serving the unfused production path stores bf16 between ops too, so
+    # this is the same numeric contract — and it halves the plane VMEM,
+    # which buys a larger W (less halo overcompute). acc/xb (the residual
+    # spine) stay f32.
+    p_dtype = t1a.dtype
 
     m_up = up_ref[...]
     d_e = de_ref[...]
@@ -466,7 +474,7 @@ def _kernel_v2(
     # coefficient is still NaN) into the down windows. Zero them once —
     # the finite-but-wrong boundary rows stay >= 100 rows inside the
     # halo's validity slack (worst-case chain shrink is 117 rows/side).
-    zg = jnp.zeros((_ACT_IN, gc), jnp.float32)
+    zg = jnp.zeros((_ACT_IN, gc), p_dtype)
     pe[pl.ds(0, _ACT_IN), :] = zg
     po[pl.ds(0, _ACT_IN), :] = zg
     pe[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
@@ -484,7 +492,7 @@ def _kernel_v2(
                 preferred_element_type=jnp.float32, precision=prec,
             )
             s = _fast_sin(u * a_row)
-            v = u + ib_row * s * s
+            v = (u + ib_row * s * s).astype(p_dtype)
             pe[pl.ds(r0, _BLK), :] = v[:_BLK]
             po[pl.ds(r0, _BLK), :] = v[_BLK:]
         fix_v_phases()
@@ -500,7 +508,7 @@ def _kernel_v2(
                 d_o.astype(mm_dtype), vo,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            dst_ref[pl.ds(r0, _BLK), :] = y
+            dst_ref[pl.ds(r0, _BLK), :] = y.astype(p_dtype)
         # Zero the uncomputed guard rows: a later matmul contracts over the
         # FULL window, and 0-coefficient x NaN (uninitialised VMEM) would
         # poison whole blocks. Zeros are finite-wrong; the error spreads
@@ -509,57 +517,62 @@ def _kernel_v2(
         dst_ref[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
 
     rows_c = Wf - 2 * _CONV_IN
-    zgc = jnp.zeros((_CONV_IN, gc), jnp.float32)
+    cb = min(_CBLK, rows_c)  # conv row-block (bounds the VMEM stack)
+    n_cb = -(-rows_c // cb)
+    zgc = jnp.zeros((_CONV_IN, gc), p_dtype)
 
     # Weight access: resident mode reads the VMEM-resident block-diagonal
-    # stacks; streaming mode (C >= 128, where 18 resident [k,L,L] stacks
-    # would blow VMEM) DMAs ONE [L,L] tap matrix at a time from HBM into a
-    # 2-slot rotating buffer with depth-1 prefetch (the guide's canonical
-    # double-buffer: start fi+1, wait fi, compute fi — per-tap DMA ~L^2*2 B
-    # overlaps the ~2*W*L^2 FLOP tap matmul).
+    # stacks; streaming mode (gc > 128, where 18 resident [k,L,L] stacks
+    # would blow VMEM) DMAs ONE CONV'S [k,L,L] tap stack at a time from
+    # HBM into a 2-slot rotating buffer with depth-1 prefetch across the
+    # conv chain (the guide's canonical double-buffer: start conv ci+1's
+    # copy, wait ci's, compute ci — the ~sum(k)*L^2*isz per-conv DMA hides
+    # under the preceding activation + this conv's matmuls). conv_map is
+    # built by the SAME loop structure that consumes it, so the order
+    # contract holds by construction.
     if stream:
-        # ORDER CONTRACT: _sched must enumerate taps in EXACTLY the order
-        # the chain loop below consumes them via _next_w — resblock-major
-        # (bi), then conv-in-chain (ri = 2*dil_index + {0: dilated, 1:
-        # dense}), then tap. The trace-time assert after the chain loop
-        # catches any count drift if the chain is ever reordered.
-        _sched = []  # flat tap order == compute order of the chain below
+        conv_map = []  # chain order -> (resblock gi, conv-in-block ri, k)
         for _gi, (_k, _dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
             for _ri in range(2 * len(_dils)):
-                for _tap in range(_k):
-                    _sched.append((_gi, _ri, _tap))
+                conv_map.append((_gi, _ri, _k))
 
-        def _w_dma(fi):
-            gi, ri, tap = _sched[fi]
-            slot = fi % 2
+        def _w_dma(ci):
+            gi, ri, k = conv_map[ci]
+            slot = ci % 2
             return pltpu.make_async_copy(
-                w_refs[gi].at[ri, tap], wbuf.at[slot], wsem.at[slot]
+                w_refs[gi].at[ri], wbuf.at[slot, pl.ds(0, k)], wsem.at[slot]
             )
 
         _w_dma(0).start()
-        _fi = [0]
 
-        def _next_w(_tap):
-            fi = _fi[0]
-            if fi + 1 < len(_sched):
-                _w_dma(fi + 1).start()
-            _w_dma(fi).wait()
-            _fi[0] = fi + 1
-            return wbuf[fi % 2]
+    def _conv_weights(ci):
+        """Ref holding conv ci's [k, L, L] tap stack (VMEM)."""
+        if not stream:
+            return w_refs[ci]
+        if ci + 1 < len(conv_map):
+            _w_dma(ci + 1).start()
+        _w_dma(ci).wait()
+        return wbuf.at[ci % 2]
 
-    def conv(src_ref, get_w, b_row, d: int, k: int, dst_ref):
+    def conv(src_ref, w_ref, b_row, d: int, k: int, dst_ref):
         fix_zero(src_ref)
         half = (k - 1) // 2
-        y = None
-        for tap in range(k):
-            off = (tap - half) * d
-            xs = src_ref[pl.ds(_CONV_IN + off, rows_c), :].astype(mm_dtype)
-            term = jnp.dot(
-                xs, get_w(tap).astype(mm_dtype),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            y = term if y is None else y + term
-        dst_ref[pl.ds(_CONV_IN, rows_c), :] = y + b_row
+        # row-blocked: per block the tap matmuls accumulate in registers /
+        # a cb-row stack frame instead of a full Wf-row one (the full-row
+        # form's xs+term+y temporaries were ~Wf*L*10 B of scoped VMEM —
+        # enough to force half-size tiles)
+        for j in range(n_cb):
+            r0 = min(_CONV_IN + j * cb, Wf - _CONV_IN - cb)
+            y = None
+            for tap in range(k):
+                off = (tap - half) * d
+                xs = src_ref[pl.ds(r0 + off, cb), :].astype(mm_dtype)
+                term = jnp.dot(
+                    xs, w_ref[tap].astype(mm_dtype),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                y = term if y is None else y + term
+            dst_ref[pl.ds(r0, cb), :] = (y + b_row).astype(p_dtype)
         dst_ref[pl.ds(0, _CONV_IN), :] = zgc
         dst_ref[pl.ds(Wf - _CONV_IN, _CONV_IN), :] = zgc
 
@@ -574,13 +587,11 @@ def _kernel_v2(
         for d in dils:
             act(xb, row(a_ref, act_i), row(ib_ref, act_i), t1a)
             act_i += 1
-            gw = _next_w if stream else w_refs[conv_i].__getitem__
-            conv(t1a, gw, row(b_ref, conv_i), d, k, t1b)
+            conv(t1a, _conv_weights(conv_i), row(b_ref, conv_i), d, k, t1b)
             conv_i += 1
             act(t1b, row(a_ref, act_i), row(ib_ref, act_i), t1a)
             act_i += 1
-            gw = _next_w if stream else w_refs[conv_i].__getitem__
-            conv(t1a, gw, row(b_ref, conv_i), 1, k, t1b)
+            conv(t1a, _conv_weights(conv_i), row(b_ref, conv_i), 1, k, t1b)
             conv_i += 1
             xb[...] = xb[...] + t1b[...]
         if bi == 0:
@@ -588,9 +599,8 @@ def _kernel_v2(
         else:
             acc[...] = acc[...] + xb[...]
 
-    # trace-time invariant: streaming consumed every scheduled tap exactly
-    # once (guards the _sched/chain order contract above)
-    assert not stream or _fi[0] == len(_sched), (_fi[0], len(_sched))
+    # trace-time invariant: the chain consumed every conv exactly once
+    assert conv_i == n_convs and (not stream or conv_i == len(conv_map))
 
     ob[...] = (acc[pl.ds(H, W), :] * np.float32(1.0 / len(spec.kernel_sizes))).astype(
         ob.dtype
@@ -638,16 +648,20 @@ def fused_amp_stage_v2(
     # under the tap matmuls for W >= 512). gc == 128 stays resident.
     stream = gc > 128
 
+    # inter-op planes (t1a/t1b/pe/po) carry the input dtype in bf16
+    # serving (the unfused path stores bf16 between ops too); the residual
+    # spine (acc, xb) stays f32
+    psz = x.dtype.itemsize if x.dtype == jnp.bfloat16 else 4
+
     def _vmem(w_rows: int) -> int:
         wf = w_rows + 2 * H
         isz = x.dtype.itemsize
         lanes = -(-gc // 128) * 128
-        # 6 f32 planes either way: acc, xb, t1a, t1b, pe, po
+        # planes: scratch (isz) + acc/xb (f32) + t1a/t1b/pe/po (psz)
+        planes = wf * lanes * (isz + 2 * 4 + 4 * psz) + w_rows * lanes * isz
         if stream:
-            planes = wf * lanes * (isz + 6 * 4) + w_rows * lanes * isz
-            wbytes = 2 * lanes * lanes * isz
+            wbytes = 2 * max(spec.kernel_sizes) * lanes * lanes * isz
         else:
-            planes = wf * lanes * (isz + 6 * 4) + w_rows * lanes * isz
             wbytes = sum(kk * gc * gc for kk in
                          [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
                           for _ in dl for _ in range(2)]) * isz
@@ -677,6 +691,7 @@ def fused_amp_stage_v2(
         x_m = jnp.pad(x_m, ((0, 0), (0, 0), (0, L - gc)))
     nt = pl.cdiv(tk, W)
     dtype = x.dtype
+    p_dt = dtype if dtype == jnp.bfloat16 else jnp.float32
     Wf = W + 2 * H
 
     def blockdiag_r(w):  # [k, co, ci] -> [k, L, L] (right-matmul form)
@@ -712,7 +727,7 @@ def fused_amp_stage_v2(
         w_specs = [
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM) for _ in w_in
         ]
-        w_scratch = [pltpu.VMEM((2, L, L), dtype)]
+        w_scratch = [pltpu.VMEM((2, max(spec.kernel_sizes), L, L), dtype)]
         w_sems = [pltpu.SemaphoreType.DMA((2,))]
     else:
         w_in = [blockdiag_r(w).astype(dtype) for w in packed["w"]]
@@ -748,10 +763,10 @@ def fused_amp_stage_v2(
             pltpu.VMEM((Wf, L), dtype),  # scratch (input tile)
             pltpu.VMEM((Wf, L), jnp.float32),  # acc
             pltpu.VMEM((Wf, L), jnp.float32),  # xb
-            pltpu.VMEM((Wf, L), jnp.float32),  # t1a
-            pltpu.VMEM((Wf, L), jnp.float32),  # t1b
-            pltpu.VMEM((Wf, L), jnp.float32),  # pe (v even)
-            pltpu.VMEM((Wf, L), jnp.float32),  # po (v odd)
+            pltpu.VMEM((Wf, L), p_dt),  # t1a
+            pltpu.VMEM((Wf, L), p_dt),  # t1b
+            pltpu.VMEM((Wf, L), p_dt),  # pe (v even)
+            pltpu.VMEM((Wf, L), p_dt),  # po (v odd)
             pltpu.VMEM((W, L), dtype),  # ob (output staging)
         ]
         + w_scratch  # wbuf (stream mode: 2-slot tap rotation)

@@ -332,8 +332,19 @@ def _kernel(*refs, spec: StageSpec, W: int, H: int, t: int, nt: int):
 
 _ACT_IN = 8  # act block inset (window reaches 8 rows past the block)
 _CONV_IN = 32  # conv inset (max dilated tap offset 25, 8-row aligned)
-_CBLK = 512  # conv row-block: bounds the per-tap xs/term/y temporaries
-#              to ~cb*L*10 B of scoped VMEM instead of ~Wf*L*10 B
+_CBLK = 512  # conv row-block ceiling: bounds the per-tap xs/term/y
+#              temporaries to ~cb*L VMEM stack instead of ~Wf*L
+
+
+def _conv_blk(lanes: int, rows_c: int) -> int:
+    """Conv row-block: Mosaic's stack allocator does NOT reuse the f32
+    [cb, lanes] tap products across the UNROLLED tap matmuls, so conv
+    stack ~= (k+1) * cb * lanes * 4 B. Cap it at ~4 MB for the worst conv
+    (k=11) to stay inside the 16 MB scoped-VMEM limit (calibrated on the
+    observed L=256/f32 OOM: 12 * 512 * 256 * 4 = 6.3 M stack + 11.8 M
+    scratch = the reported 20.1 M)."""
+    cap = max(64, int(4.0e6 / (12 * 4 * lanes)) // 8 * 8)
+    return min(_CBLK, rows_c, cap)
 
 
 def _v2_reach(spec: StageSpec) -> int:
@@ -517,24 +528,29 @@ def _kernel_v2(
         dst_ref[pl.ds(Wf - _ACT_IN, _ACT_IN), :] = zg
 
     rows_c = Wf - 2 * _CONV_IN
-    cb = min(_CBLK, rows_c)  # conv row-block (bounds the VMEM stack)
+    cb = _conv_blk(gc, rows_c)  # conv row-block (bounds the VMEM stack)
     n_cb = -(-rows_c // cb)
     zgc = jnp.zeros((_CONV_IN, gc), p_dtype)
 
-    # Weight access: resident mode reads the VMEM-resident block-diagonal
-    # stacks; streaming mode (gc > 128, where 18 resident [k,L,L] stacks
-    # would blow VMEM) DMAs ONE CONV'S [k,L,L] tap stack at a time from
-    # HBM into a 2-slot rotating buffer with depth-1 prefetch across the
-    # conv chain (the guide's canonical double-buffer: start conv ci+1's
-    # copy, wait ci's, compute ci — the ~sum(k)*L^2*isz per-conv DMA hides
-    # under the preceding activation + this conv's matmuls). conv_map is
-    # built by the SAME loop structure that consumes it, so the order
-    # contract holds by construction.
+    # Weight access. Resident mode reads the VMEM-resident block-diagonal
+    # stacks. Streaming (gc > 128, where 18 resident [k,L,L] stacks would
+    # blow VMEM) has two granularities, both the guide's canonical 2-slot
+    # rotation with depth-1 prefetch (start fetch i+1, wait i, compute i):
+    #   * "conv"  — one conv's whole [k,L,L] tap stack per rotation (no
+    #     re-traffic; needs a 2*kmax*L*L buffer, fits L=256 bf16);
+    #   * "tap"   — one [L,L] tap matrix per rotation, scheduled
+    #     (conv-in-chain, row-block, tap) so the tiny buffer works at any
+    #     L; re-fetches each tap n_cb times (the ~L^2*isz copy hides under
+    #     the 2*cb*L^2 FLOP tap matmul for cb >= ~2*isz rows).
+    # Both schedules are built by the SAME loop structure that consumes
+    # them, so the order contract holds by construction.
     if stream:
         conv_map = []  # chain order -> (resblock gi, conv-in-block ri, k)
         for _gi, (_k, _dils) in enumerate(zip(spec.kernel_sizes, spec.dilations)):
             for _ri in range(2 * len(_dils)):
                 conv_map.append((_gi, _ri, _k))
+
+    if stream == "conv":
 
         def _w_dma(ci):
             gi, ri, k = conv_map[ci]
@@ -544,23 +560,49 @@ def _kernel_v2(
             )
 
         _w_dma(0).start()
+    elif stream == "tap":
+        tap_sched = []  # flat (gi, ri, tap) in exact consumption order
+        for _gi, _ri, _k in conv_map:
+            for _j in range(n_cb):
+                for _tap in range(_k):
+                    tap_sched.append((_gi, _ri, _tap))
+
+        def _w_dma_tap(fi):
+            gi, ri, tap = tap_sched[fi]
+            return pltpu.make_async_copy(
+                w_refs[gi].at[ri, tap], wbuf.at[fi % 2], wsem.at[fi % 2]
+            )
+
+        _w_dma_tap(0).start()
+        _fi = [0]
+
+        def _next_tap(_j, _tap):
+            fi = _fi[0]
+            if fi + 1 < len(tap_sched):
+                _w_dma_tap(fi + 1).start()
+            _w_dma_tap(fi).wait()
+            _fi[0] = fi + 1
+            return wbuf[fi % 2]
 
     def _conv_weights(ci):
-        """Ref holding conv ci's [k, L, L] tap stack (VMEM)."""
+        """-> get_tap(j, tap) yielding conv ci's [L, L] tap matrix."""
         if not stream:
-            return w_refs[ci]
-        if ci + 1 < len(conv_map):
-            _w_dma(ci + 1).start()
-        _w_dma(ci).wait()
-        return wbuf.at[ci % 2]
+            r = w_refs[ci]
+            return lambda j, tap: r[tap]
+        if stream == "conv":
+            if ci + 1 < len(conv_map):
+                _w_dma(ci + 1).start()
+            _w_dma(ci).wait()
+            s = wbuf.at[ci % 2]
+            return lambda j, tap: s[tap]
+        return _next_tap
 
-    def conv(src_ref, w_ref, b_row, d: int, k: int, dst_ref):
+    def conv(src_ref, get_tap, b_row, d: int, k: int, dst_ref):
         fix_zero(src_ref)
         half = (k - 1) // 2
-        # row-blocked: per block the tap matmuls accumulate in registers /
-        # a cb-row stack frame instead of a full Wf-row one (the full-row
-        # form's xs+term+y temporaries were ~Wf*L*10 B of scoped VMEM —
-        # enough to force half-size tiles)
+        # row-blocked: per block the tap matmuls accumulate in a cb-row
+        # stack frame instead of a full Wf-row one; Mosaic does not reuse
+        # the unrolled taps' f32 products, so cb is capped by _conv_blk
         for j in range(n_cb):
             r0 = min(_CONV_IN + j * cb, Wf - _CONV_IN - cb)
             y = None
@@ -568,7 +610,7 @@ def _kernel_v2(
                 off = (tap - half) * d
                 xs = src_ref[pl.ds(r0 + off, cb), :].astype(mm_dtype)
                 term = jnp.dot(
-                    xs, w_ref[tap].astype(mm_dtype),
+                    xs, get_tap(j, tap).astype(mm_dtype),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
                 y = term if y is None else y + term
@@ -599,8 +641,10 @@ def _kernel_v2(
         else:
             acc[...] = acc[...] + xb[...]
 
-    # trace-time invariant: the chain consumed every conv exactly once
+    # trace-time invariant: the chain consumed every conv exactly once and
+    # (tap mode) every scheduled tap fetch exactly once
     assert conv_i == n_convs and (not stream or conv_i == len(conv_map))
+    assert stream != "tap" or _fi[0] == len(tap_sched), (_fi[0], len(tap_sched))
 
     ob[...] = (acc[pl.ds(H, W), :] * np.float32(1.0 / len(spec.kernel_sizes))).astype(
         ob.dtype
@@ -643,31 +687,45 @@ def fused_amp_stage_v2(
     gc = g * c
     n_convs = sum(2 * len(d) for d in spec.dilations)
     # gc > 128 (i.e. L >= 256): the 18 resident block-diagonal weight
-    # stacks would need 9-37 MB of VMEM — stream [L,L] tap matrices from
-    # HBM instead (the per-tile weight re-traffic, sum(k)*L^2*isz, hides
-    # under the tap matmuls for W >= 512). gc == 128 stays resident.
-    stream = gc > 128
+    # stacks would need 9-37 MB of VMEM — stream tap weights from HBM
+    # instead: per-CONV [k,L,L] stacks when the 2-slot buffer fits
+    # (L=256 bf16: 2.9 MB, zero re-traffic), per-TAP [L,L] matrices
+    # otherwise (any L; re-fetches each tap n_cb times). gc == 128 stays
+    # resident.
+    isz = x.dtype.itemsize
+    lanes = -(-gc // 128) * 128
+    kmax = max(spec.kernel_sizes)
+    stream: bool | str = False
+    if gc > 128:
+        stream = "conv" if 2 * kmax * lanes * lanes * isz <= 3_500_000 else "tap"
 
     # inter-op planes (t1a/t1b/pe/po) carry the input dtype in bf16
     # serving (the unfused path stores bf16 between ops too); the residual
     # spine (acc, xb) stays f32
-    psz = x.dtype.itemsize if x.dtype == jnp.bfloat16 else 4
+    psz = isz if x.dtype == jnp.bfloat16 else 4
 
     def _vmem(w_rows: int) -> int:
         wf = w_rows + 2 * H
-        isz = x.dtype.itemsize
-        lanes = -(-gc // 128) * 128
         # planes: scratch (isz) + acc/xb (f32) + t1a/t1b/pe/po (psz)
         planes = wf * lanes * (isz + 2 * 4 + 4 * psz) + w_rows * lanes * isz
-        if stream:
-            wbytes = 2 * max(spec.kernel_sizes) * lanes * lanes * isz
+        if stream == "conv":
+            wbytes = 2 * kmax * lanes * lanes * isz
+        elif stream == "tap":
+            wbytes = 2 * lanes * lanes * isz
         else:
             wbytes = sum(kk * gc * gc for kk in
                          [k for k, dl in zip(spec.kernel_sizes, spec.dilations)
                           for _ in dl for _ in range(2)]) * isz
-        return planes + wbytes + 3 * (2 * _BLK * _KW) * 4 + 3 * n_convs * lanes * 4
+        # Mosaic stack: the conv's unrolled per-tap f32 products are NOT
+        # reused ((kmax+1) * cb * lanes * 4), plus the act block's u/s/v
+        cb = _conv_blk(lanes, wf - 2 * _CONV_IN)
+        stack = (kmax + 1) * cb * lanes * 4 + 4 * (2 * _BLK) * lanes * 4
+        return planes + wbytes + stack + 3 * n_convs * lanes * 4
 
-    budget = 13 * 1024 * 1024
+    # 14.5 M against the 16 M scoped-VMEM cap: _vmem counts the Mosaic
+    # stack honestly (validated vs a compiler-reported OOM: model 19.0 M
+    # where the compiler measured 20.1 M), so ~1.5 M of slack suffices
+    budget = int(14.5 * 1024 * 1024)
     while W > 256 and _vmem(W) > budget:
         W //= 2
     # Interior-tile DMA windows reach (nt-1)*W + H rows: the last tile's
@@ -727,7 +785,8 @@ def fused_amp_stage_v2(
         w_specs = [
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM) for _ in w_in
         ]
-        w_scratch = [pltpu.VMEM((2, max(spec.kernel_sizes), L, L), dtype)]
+        wbuf_shape = (2, kmax, L, L) if stream == "conv" else (2, L, L)
+        w_scratch = [pltpu.VMEM(wbuf_shape, dtype)]
         w_sems = [pltpu.SemaphoreType.DMA((2,))]
     else:
         w_in = [blockdiag_r(w).astype(dtype) for w in packed["w"]]

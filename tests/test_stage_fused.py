@@ -103,25 +103,39 @@ def test_fused_edge_exactness(impl):
     assert tail_err < 5e-4, f"tail err {tail_err:.2e}"
 
 
-@pytest.mark.parametrize("t", [1024, 2000])  # aligned + ragged tail
-def test_fused_v2_streaming_weights_matches_reference(t):
-    """gc > 128 dispatches the streaming-weights kernel branch (ref
-    unpacking, 2-slot DMA rotation, _sched/compute order coupling) — parity
-    incl. the ragged tail and both edges. s2 (C=192) is the production
-    target shape class."""
-    c = 192
+@pytest.mark.parametrize(
+    "t,c,dtype",
+    [
+        (1024, 192, "f32"),  # tap-granularity stream (f32 conv-stack > cap)
+        (2000, 192, "f32"),  # ... with a ragged tail
+        (1024, 192, "bf16"),  # conv-granularity stream (2.9 MB wbuf fits)
+        (1024, 384, "f32"),  # tap stream at L=384 (s1 shape class)
+    ],
+)
+def test_fused_v2_streaming_weights_matches_reference(t, c, dtype):
+    """gc > 128 dispatches a streaming-weights kernel branch (ref
+    unpacking, 2-slot DMA rotation, schedule/compute order coupling) —
+    parity incl. ragged tails and both edges, at BOTH stream granularities
+    (per-conv [k,L,L] stacks and per-(block,tap) [L,L] matrices). s2
+    (C=192) and s1 (C=384) are the production shape classes."""
+    from dmel_codec_tpu.ops import stage_fused as sf
+
     spec, params = _make_stage(c, rng_seed=5)
     packed = pack_stage(params, spec)
     x = jax.random.normal(jax.random.PRNGKey(6), (1, t, c), jnp.float32)
     ref = stage_reference(x, packed, spec)
+    tol = 5e-4
+    if dtype == "bf16":
+        x = x.astype(jnp.bfloat16)
+        tol = 1.2e-1  # bf16 weights + bf16 inter-op planes vs f32 oracle
     got = fused_amp_stage_v2(x, packed, spec, interpret=True, tile_w=512)
-    err = np.abs(np.asarray(got) - np.asarray(ref))
-    assert err.max() < 5e-4, f"max err {err.max():.2e}"
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref))
+    assert err.max() < tol, f"max err {err.max():.2e}"
     # replicate/zero edge semantics at both boundaries
     head_err = err[:, :32].max()
     tail_err = err[:, -32:].max()
-    assert head_err < 5e-4, f"head err {head_err:.2e}"
-    assert tail_err < 5e-4, f"tail err {tail_err:.2e}"
+    assert head_err < tol, f"head err {head_err:.2e}"
+    assert tail_err < tol, f"tail err {tail_err:.2e}"
 
 
 def test_bigvgan_apply_fused_matches_module():

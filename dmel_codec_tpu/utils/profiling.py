@@ -46,7 +46,7 @@ def sync(tree) -> None:
             int(jnp.max(leaf.astype(jnp.int32)))
 
 
-def timed_rep(make_dep, x0, iters: int = 10) -> float:
+def timed_rep(make_dep, x0, iters: int = 10, consts=None) -> float:
     """Seconds per op, trustworthy on remote-device tunnels.
 
     `make_dep(carry) -> scalar float32` must DEPEND on the carry (usually
@@ -57,25 +57,33 @@ def timed_rep(make_dep, x0, iters: int = 10) -> float:
     and two loop lengths are differenced so dispatch/tunnel overhead
     cancels. The closing device->host fetch cannot complete before the
     whole chain has executed (unlike block_until_ready here — see sync).
+
+    `consts`: optional pytree handed to `make_dep(carry, consts)` as a JIT
+    ARGUMENT. Big weight trees MUST go here, not into make_dep's closure —
+    closed-over arrays are baked into the MLIR as constants, and a 0.5 B
+    parameter module reliably kills the remote-compile helper.
     """
     import time
 
     import jax.numpy as jnp
 
     def rep(n):
-        def body(i, carry):
-            x, acc = carry
-            dep = make_dep(x)
-            return (x0 + (1e-20 * dep).astype(x0.dtype), acc + dep)
+        def body(c):
+            def _b(i, carry):
+                x, acc = carry
+                dep = make_dep(x) if c is None else make_dep(x, c)
+                return (x0 + (1e-20 * dep).astype(x0.dtype), acc + dep)
+
+            return _b
 
         f = jax.jit(
-            lambda a: jax.lax.fori_loop(0, n, body, (a, jnp.float32(0)))[1]
+            lambda a, c: jax.lax.fori_loop(0, n, body(c), (a, jnp.float32(0)))[1]
         )
-        float(f(x0))  # warm + sync
+        float(f(x0, consts))  # warm + sync
         best = 1e9
         for _ in range(2):
             t0 = time.perf_counter()
-            float(f(x0))
+            float(f(x0, consts))
             best = min(best, time.perf_counter() - t0)
         return best
 

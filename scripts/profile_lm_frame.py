@@ -16,7 +16,6 @@ next carry from it, so every repeat truly executes):
 from __future__ import annotations
 
 import argparse
-from functools import partial
 
 import jax
 
@@ -45,32 +44,39 @@ def main() -> None:
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     params = cast_floats(params, dtype)
     cache = model.init_slow_cache(1, 1024, dtype=dtype)
-    apply = partial(model.apply, {"params": params})
+    # params/cache travel as jit ARGUMENTS through timed_rep's `consts` —
+    # closing over them bakes ~1 GB of constants into the MLIR and kills
+    # the remote-compile helper (see utils/profiling.timed_rep)
+    consts = {"p": params, "c": cache}
 
     h = jnp.zeros((1, 1, cfg.slow.hidden_size), dtype)
     rows = {}
 
     def row(name, seconds):
         rows[name] = seconds * 1e3
-        print(f"{name:<44}{seconds * 1e3:8.3f} ms")
+        print(f"{name:<44}{seconds * 1e3:8.3f} ms", flush=True)
 
     def scalar(x):
         return jnp.mean(x.astype(jnp.float32))
 
     # --- slow cached step -------------------------------------------------
-    def slow_with_head(x):
-        logits, hidden, _ = apply(x, cache, method=ChatMusicLM.forward_generate_text)
+    def slow_with_head(x, k):
+        logits, hidden, _ = model.apply(
+            {"params": k["p"]}, x, k["c"], method=ChatMusicLM.forward_generate_text
+        )
         return scalar(logits) + scalar(hidden)
 
-    def slow_decoder_only(x):
+    def slow_decoder_only(x, k):
         hidden, _ = model.apply(
-            {"params": params}, x, cache,
+            {"params": k["p"]}, x, k["c"],
             method=lambda m, e, c: m.slow_decoder(e, cache=c),
         )
         return scalar(hidden)
 
-    row("slow step incl. text head", timed_rep(slow_with_head, h, iters=20))
-    row("slow decoder only (no head)", timed_rep(slow_decoder_only, h, iters=20))
+    row("slow step incl. text head",
+        timed_rep(slow_with_head, h, iters=20, consts=consts))
+    row("slow decoder only (no head)",
+        timed_rep(slow_decoder_only, h, iters=20, consts=consts))
 
     # --- text sampling: exact top-50 over 151936 --------------------------
     logits_t = jax.random.normal(
@@ -92,11 +98,15 @@ def main() -> None:
     # --- one fast depth forward (seq 11) ----------------------------------
     ids = jnp.zeros((1, cfg.audio_codebook_count), jnp.int32)
 
-    def fast_fwd(x):
-        logits = apply(x, ids, method=ChatMusicLM.forward_generate_audio_fixed)
+    def fast_fwd(x, k):
+        logits = model.apply(
+            {"params": k["p"]}, x, ids,
+            method=ChatMusicLM.forward_generate_audio_fixed,
+        )
         return scalar(logits)
 
-    row("one fast depth forward (12L, seq 11)", timed_rep(fast_fwd, h, iters=20))
+    row("one fast depth forward (12L, seq 11)",
+        timed_rep(fast_fwd, h, iters=20, consts=consts))
 
     # --- audio sampling ----------------------------------------------------
     logits_a = jax.random.normal(jax.random.PRNGKey(3), (cfg.audio_vocab,), jnp.float32)
@@ -113,11 +123,13 @@ def main() -> None:
     tid = jnp.zeros((1, 1), jnp.int32)
     aid = jnp.zeros((1, 1, cfg.audio_codebook_count), jnp.int32)
 
-    def embed(x):
-        e = apply(tid, aid, method=ChatMusicLM.embed_inputs)
+    def embed(x, k):
+        e = model.apply(
+            {"params": k["p"]}, tid, aid, method=ChatMusicLM.embed_inputs
+        )
         return scalar(e) + scalar(x)
 
-    row("embed_inputs (1 token)", timed_rep(embed, h, iters=20))
+    row("embed_inputs (1 token)", timed_rep(embed, h, iters=20, consts=consts))
 
     total = (
         rows["slow step incl. text head"]

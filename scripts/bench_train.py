@@ -1,4 +1,4 @@
-"""Codec GAN training-step throughput: fp32 vs bf16-compute, with MFU.
+"""Training-step throughput (codec GAN + slow-fast LM), with MFU.
 
 The train state (params + Adam moments) chains step i -> i+1, so a simple
 dispatch loop is already tunnel-honest once a final device->host fetch
@@ -13,6 +13,14 @@ same bf16 peak — the v5e MXU executes fp32 contractions as multi-pass
 bf16, so "fraction of bf16 peak" is the one comparable scale.
 
     python scripts/bench_train.py [--bf16] [--batch 8] [--seconds 3]
+    python scripts/bench_train.py --lm [--batch 2] [--seq 1024]
+
+--lm measures the flagship slow-fast LM microbatch step (0.5B slow 24L/896h
++ fast 12L/480h, grad-accum 60 via optax.MultiSteps so every 60th call pays
+the Adam apply — the iters are a multiple of 60 so exactly that fraction is
+amortized in, matching the reference's 8-GPU bf16 workload of
+config/lm/lm_config.yaml:13-34). Default B=2 x S=1024 frames ~= 87 s of
+audio tokens per step, the reference's 80 s batch_duration class.
 """
 
 from __future__ import annotations
@@ -34,13 +42,82 @@ from dmel_codec_tpu.train.codec_trainer import CodecTrainConfig, CodecTrainer
 V5E_PEAK_BF16 = 197e12  # FLOP/s, one chip
 
 
+def bench_lm(args) -> None:
+    from dmel_codec_tpu.lm.inputs import TokenGridBuilder, pad_grids_to_batch
+    from dmel_codec_tpu.models.lm import SlowFastLMConfig
+    from dmel_codec_tpu.train.lm_trainer import LMTrainConfig, LMTrainer
+
+    cfg = SlowFastLMConfig(text_weight=0.01)
+    trainer = LMTrainer(cfg, LMTrainConfig())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.jit_train_step()
+
+    # flagship-scale batch: raw audio token grids -> padded [B, S] rows
+    # (the grid builder adds the special-token frame, so feed it S-16
+    # audio frames and pad the batch to exactly S)
+    rng = np.random.default_rng(0)
+    builder = TokenGridBuilder(cfg)
+    grids = []
+    for _ in range(args.batch):
+        text = rng.integers(0, 1000, size=(24,))
+        audio = rng.integers(
+            0, 175, size=(args.seq - 40, cfg.audio_codebook_count)
+        )
+        grids.append(builder.build_train_grid(text, audio))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in pad_grids_to_batch(grids, cfg, pad_to=args.seq).items()
+    }
+
+    lowered = jax.jit(trainer.train_step).lower(state, batch)
+    cost = lowered.compile().cost_analysis()
+    step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics = step(state, batch)  # compile + warm
+    float(metrics["train/loss"])
+    t0 = time.perf_counter()
+    float(metrics["train/loss"])
+    fetch_latency = time.perf_counter() - t0
+
+    iters = args.iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    float(metrics["train/loss"])
+    elapsed = time.perf_counter() - t0 - fetch_latency
+
+    step_ms = elapsed / iters * 1e3
+    frames = args.batch * args.seq
+    audio_s = frames / 23.4375  # 24000/256/4 codec frame rate
+    flops_per_s = step_flops * iters / elapsed
+    print(
+        f"LM microbatch step (accum 60 amortized over {iters} iters): "
+        f"B={args.batch} x S={args.seq}  step: {step_ms:.1f} ms  "
+        f"{frames * iters / elapsed:.0f} frames/s "
+        f"({audio_s * iters / elapsed:.0f} audio-s/s/chip)  "
+        f"step FLOPs: {step_flops / 1e12:.2f} T  "
+        f"achieved: {flops_per_s / 1e12:.2f} TFLOP/s  "
+        f"MFU(vs bf16 peak 197T): {flops_per_s / V5E_PEAK_BF16 * 100:.1f}%"
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--bf16", action="store_true")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--lm", action="store_true")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--seq", type=int, default=1024)
     parser.add_argument("--seconds", type=float, default=3.0)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=None)
     args = parser.parse_args()
+    if args.lm:
+        args.batch = args.batch or 2
+        # a multiple of accum 60: exactly 1/60 of iters pay the Adam apply
+        args.iters = args.iters or 60
+        bench_lm(args)
+        return
+    args.batch = args.batch or 8
+    args.iters = args.iters or 30
 
     cfg = DMelCodecConfig(compute_dtype="bfloat16" if args.bf16 else None)
     trainer = CodecTrainer(cfg, CodecTrainConfig())

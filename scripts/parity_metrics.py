@@ -42,6 +42,7 @@ from dmel_codec.models.modules.wavenet import WaveNet as RefWaveNet
 
 import jax.numpy as jnp
 
+from dmel_codec_tpu.data.audio import resample_audio
 from dmel_codec_tpu.dsp.spectrogram import LogMelSpectrogram
 from dmel_codec_tpu.eval.metrics import mel_l1_distance, si_snr, stoi
 from dmel_codec_tpu.eval.pesq_native import pesq_wb
@@ -176,10 +177,15 @@ def main() -> None:
 
         m = min(len(wav_t), len(wav_j), n)
         ref, wt, wj = clip[:m], wav_t[:m], wav_j[:m]
+        # PESQ-wb is defined at 16 kHz — resample like the reference does
+        # (evaluation_utils.py:154-187 resamples to 16k before pesq)
+        ref16, wt16, wj16 = (
+            resample_audio(v.astype(np.float32), SR, 16000) for v in (ref, wt, wj)
+        )
         row = dict(
             clip=["tones", "chirp", "speech-like"][ci],
-            pesq_t=pesq_wb(ref, wt, sample_rate=SR),
-            pesq_j=pesq_wb(ref, wj, sample_rate=SR),
+            pesq_t=pesq_wb(ref16, wt16, sample_rate=16000),
+            pesq_j=pesq_wb(ref16, wj16, sample_rate=16000),
             stoi_t=stoi(ref, wt, SR),
             stoi_j=stoi(ref, wj, SR),
             mel_t=mel_l1_distance(ref, wt, SR),

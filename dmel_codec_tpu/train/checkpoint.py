@@ -4,6 +4,13 @@ Replaces the reference's Lightning ModelCheckpoint + find_lastest_ckpt
 mtime scan (utils/utils.py:11-21, train_codec.py:57-62). The codec's frozen
 vocoder is naturally excluded: it is not part of CodecTrainState (the
 reference strips vocoder keys at save time, codec_lit_modules.py:114-119).
+
+Retention matches the reference's ModelCheckpoint(monitor=..., save_top_k)
+(config/codec/dMel_used.yaml:135-144 monitors val_loss, lm_config.yaml:146-156
+monitors val/audio_loss): pass `best_metric`/`best_mode` and save() with a
+metrics dict, and orbax keeps the top-k by that metric instead of the k
+newest. Without `best_metric` the manager keeps the k newest (the
+save_last/auto-resume behavior).
 """
 
 from __future__ import annotations
@@ -18,18 +25,42 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     """Step-indexed checkpoints under `directory`, keep-k, auto-resume."""
 
-    def __init__(self, directory: str, max_to_keep: int = 2):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 2,
+        best_metric: Optional[str] = None,
+        best_mode: str = "min",
+    ):
         self.directory = os.path.abspath(directory)
+        self.best_metric = best_metric
+        self.best_mode = best_mode
         os.makedirs(self.directory, exist_ok=True)
+        options: dict[str, Any] = dict(max_to_keep=max_to_keep, create=True)
+        if best_metric is not None:
+            options.update(
+                best_fn=lambda metrics: float(metrics[best_metric]),
+                best_mode=best_mode,
+            )
         self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
+            self.directory, options=ocp.CheckpointManagerOptions(**options)
         )
 
-    def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(
+        self, step: int, state: Any, metrics: Optional[dict] = None
+    ) -> None:
+        """`metrics` (plain floats) ranks this checkpoint when the manager
+        was built with `best_metric`. A best-ranked manager treats a save
+        with no metrics as worst-ranked (it is still written, and still
+        resumable via latest_step until evicted)."""
+        if self.best_metric is not None and metrics is None:
+            worst = float("inf") if self.best_mode == "min" else float("-inf")
+            metrics = {self.best_metric: worst}
+        elif self.best_metric is None:
+            metrics = None
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics
+        )
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

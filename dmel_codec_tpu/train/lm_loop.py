@@ -39,7 +39,12 @@ class LMFitLoop:
         cfg = self.cfg
         mesh = data_mesh() if cfg.use_mesh else None
         writer = MetricsWriter(cfg.log_dir)
-        ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.keep_checkpoints)
+        ckpt = CheckpointManager(
+            cfg.ckpt_dir,
+            max_to_keep=cfg.keep_checkpoints,
+            best_metric=cfg.best_metric,
+            best_mode=cfg.best_mode,
+        )
 
         if state is None:
             state = self.trainer.init_state(jax.random.PRNGKey(cfg.seed))
@@ -70,6 +75,7 @@ class LMFitLoop:
                 if step % cfg.log_every == 0:
                     writer.scalars(step, {k: float(v) for k, v in metrics.items()})
                 if step % cfg.val_interval == 0:
+                    val_means = None
                     if self.val_batches is not None:
                         # losses + top-k accuracies, reference val parity
                         # (lm_lit_modules.py:305-326)
@@ -88,14 +94,15 @@ class LMFitLoop:
                                 sums[k] = sums.get(k, 0.0) + float(v)
                             count += 1
                         if count:
-                            means = {k: v / count for k, v in sums.items()}
-                            writer.scalars(step, means)
+                            val_means = {k: v / count for k, v in sums.items()}
+                            writer.scalars(step, val_means)
                             log.info(
                                 f"step {step}: val loss "
-                                f"{means['val/audio_loss']:.4f} top1 "
-                                f"{means.get('val/audio_top1_acc', 0.0):.3f}"
+                                f"{val_means['val/audio_loss']:.4f} top1 "
+                                f"{val_means.get('val/audio_top1_acc', 0.0):.3f}"
                             )
-                    ckpt.save(step, state)  # checkpoint cadence == val cadence
+                    # checkpoint cadence == val cadence; val metrics rank it
+                    ckpt.save(step, state, metrics=val_means)
                 if step >= cfg.max_steps:
                     break
             epoch += 1

@@ -35,6 +35,11 @@ class FitConfig:
     ckpt_dir: str = "checkpoints"
     log_dir: str = "tb_logs"
     keep_checkpoints: int = 2
+    # Metric-ranked retention (reference ModelCheckpoint monitor/save_top_k,
+    # dMel_used.yaml:135-144 / lm_config.yaml:146-156). None keeps the k
+    # newest; "val_loss" (codec) / "val/audio_loss" (LM) keeps the k best.
+    best_metric: Optional[str] = None
+    best_mode: str = "min"
     seed: int = 0
     max_val_batches: int = 4
     use_mesh: bool = True
@@ -68,7 +73,12 @@ class CodecFitLoop:
         cfg = self.cfg
         mesh = data_mesh() if cfg.use_mesh else None
         writer = MetricsWriter(cfg.log_dir)
-        ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.keep_checkpoints)
+        ckpt = CheckpointManager(
+            cfg.ckpt_dir,
+            max_to_keep=cfg.keep_checkpoints,
+            best_metric=cfg.best_metric,
+            best_mode=cfg.best_mode,
+        )
 
         if state is None:
             state = self.trainer.init_state(jax.random.PRNGKey(cfg.seed))
@@ -93,9 +103,11 @@ class CodecFitLoop:
                 if step % cfg.log_every == 0:
                     writer.scalars(step, {k: float(v) for k, v in metrics.items()})
                 if step % cfg.val_interval == 0:
+                    val_metrics = None
                     if self.val_batches is not None:
-                        self._validate(state, writer, step)
-                    ckpt.save(step, state)  # checkpoint cadence == val cadence
+                        val_metrics = self._validate(state, writer, step)
+                    # checkpoint cadence == val cadence; val metrics rank it
+                    ckpt.save(step, state, metrics=val_metrics)
                 if step >= cfg.max_steps:
                     break
             epoch += 1
@@ -105,7 +117,9 @@ class CodecFitLoop:
         writer.close()
         return state
 
-    def _validate(self, state: CodecTrainState, writer: MetricsWriter, step: int):
+    def _validate(
+        self, state: CodecTrainState, writer: MetricsWriter, step: int
+    ) -> Optional[dict]:
         cfg = self.cfg
         eval_fn = self._eval_fn  # jit once per run (re-wrapping would retrace)
         losses = []
@@ -118,11 +132,14 @@ class CodecFitLoop:
             losses.append(float(out["val_loss"]))
             if first_batch is None:
                 first_batch = db
+        metrics = None
         if losses:
-            writer.scalars(step, {"val_loss": float(np.mean(losses))})
+            metrics = {"val_loss": float(np.mean(losses))}
+            writer.scalars(step, metrics)
             log.info(f"step {step}: val_loss {np.mean(losses):.4f}")
         if first_batch is not None:
             self._log_media(state, writer, step, first_batch)
+        return metrics
 
     def _log_media(self, state, writer, step, batch):
         """Mel figure + audio clips for sample 0 (ref :399-458)."""

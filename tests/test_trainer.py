@@ -132,3 +132,31 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     mgr.close()
+
+
+def test_checkpoint_best_metric_retention(tmp_path):
+    """Metric-ranked top-k keeps the BEST steps, not the newest — a
+    worse-then-better val_loss sequence must evict the bad middle step
+    (reference ModelCheckpoint monitor=val_loss save_top_k,
+    dMel_used.yaml:135-144)."""
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpt"), max_to_keep=2, best_metric="val_loss"
+    )
+    state = {"w": np.zeros((2,), np.float32)}
+    # good, best, terrible, mediocre — top-2 by val_loss = steps 1 and 2
+    for step, loss in [(1, 0.5), (2, 0.2), (3, 9.0), (4, 1.0)]:
+        mgr.save(step, {"w": np.full((2,), step, np.float32)}, metrics={"val_loss": loss})
+    mgr.wait()
+    kept = sorted(mgr._mgr.all_steps())
+    assert kept == [1, 2], kept
+    restored = mgr.restore_latest(state)
+    assert float(restored["w"][0]) == 2.0
+    mgr.close()
+
+    # default (no best_metric) keeps the k newest — the resume behavior
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"), max_to_keep=2)
+    for step in [1, 2, 3]:
+        mgr2.save(step, {"w": np.full((2,), step, np.float32)})
+    mgr2.wait()
+    assert sorted(mgr2._mgr.all_steps()) == [2, 3]
+    mgr2.close()

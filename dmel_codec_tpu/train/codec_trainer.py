@@ -195,7 +195,12 @@ class CodecTrainer:
     def train_step(
         self, state: CodecTrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
     ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
-        """batch: {'audios': [B, L] float, 'audio_lengths': [B] int}."""
+        """batch: {'audios': [B, L] float, 'audio_lengths': [B] int}.
+
+        An optional batch['noise'] [B, T, concat_dim] overrides the decoder's
+        Gaussian draw — used by the cross-framework training-step parity
+        harness (scripts/parity_train_step.py) to drive this step and the
+        reference's torch step with identical randomness."""
         cfg = self.config
         self._ensure_optimizers(state.gen_params)
         audios = batch["audios"].astype(jnp.float32)
@@ -203,7 +208,13 @@ class CodecTrainer:
             audios, batch["audio_lengths"]
         )
         quality = jax.lax.stop_gradient(quality)
-        noise = jax.random.normal(rng, encode_mels.shape[:2] + (self.codec_config.concat_dim,))
+        noise = batch.get("noise")
+        if noise is None:
+            noise = jax.random.normal(
+                rng, encode_mels.shape[:2] + (self.codec_config.concat_dim,)
+            )
+        else:
+            noise = noise.astype(jnp.float32)
 
         # --- single generator forward with reusable VJP -------------------
         def gen_forward(gen_params):

@@ -32,13 +32,23 @@ class Evaluation:
         asr: Optional[WhisperASR] = None,
         compute_pesq: bool = True,
         compute_spk_sim: bool = False,
+        spk_params: Optional[dict] = None,
+        spk_weights_path: Optional[str] = None,
     ):
         # compute_pesq defaults ON: pesq_wb_16k no longer needs external
         # packages (native P.862 fallback, eval/pesq_native.py)
         self.codec = codec
         self.asr = asr
         self.compute_pesq = compute_pesq
-        self.compute_spk_sim = compute_spk_sim
+        # the spk-sim column runs natively when ECAPA params / a local
+        # checkpoint are supplied (eval/ecapa.py); speechbrain otherwise
+        self.compute_spk_sim = compute_spk_sim or spk_params is not None
+        self.spk_params = spk_params
+        if self.spk_params is None and spk_weights_path is not None:
+            from dmel_codec_tpu.eval.ecapa import load_ecapa_checkpoint
+
+            self.spk_params = load_ecapa_checkpoint(spk_weights_path)
+            self.compute_spk_sim = True
         self._gt_mel_jit = None  # lazily jitted codec.mel_tf (per-shape cached)
 
     def step(self, batch: Dict) -> Dict[str, float]:
@@ -105,7 +115,9 @@ class Evaluation:
             for i in range(len(gt)):
                 g16 = resample_audio(gt[i, : lengths[i]], sr, 16000)
                 r16 = resample_audio(rec[i, : lengths[i]], sr, 16000)
-                sims.append(speaker_similarity(g16, r16))
+                sims.append(
+                    speaker_similarity(g16, r16, native_params=self.spk_params)
+                )
             out["spk_sim"] = float(np.mean(sims))
         return out
 

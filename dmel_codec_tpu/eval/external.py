@@ -80,16 +80,37 @@ def pesq_wb_16k(target_16k: np.ndarray, estimate_16k: np.ndarray) -> float:
 
 
 def speaker_similarity(
-    gt_audio_16k: np.ndarray, rec_audio_16k: np.ndarray, model_source: Optional[str] = None
+    gt_audio_16k: np.ndarray,
+    rec_audio_16k: np.ndarray,
+    model_source: Optional[str] = None,
+    native_params: Optional[dict] = None,
+    weights_path: Optional[str] = None,
 ) -> float:
-    """ECAPA cosine speaker similarity via speechbrain (not bundled)."""
+    """ECAPA cosine speaker similarity (reference evaluation_utils.py:108-130).
+
+    Resolution order: explicit native params (eval/ecapa.py pytree) -> a
+    local torch `embedding_model.ckpt` at `weights_path` (converted via
+    eval/ecapa.py, no speechbrain needed) -> the speechbrain package. The
+    native JAX ECAPA-TDNN makes the column runnable the moment weights
+    exist on disk, even in this zero-egress environment."""
+    if native_params is None and weights_path is not None:
+        from dmel_codec_tpu.eval.ecapa import load_ecapa_checkpoint
+
+        native_params = load_ecapa_checkpoint(weights_path)
+    if native_params is not None:
+        from dmel_codec_tpu.eval.ecapa import cosine_similarity, embed_audio
+
+        a = embed_audio(native_params, gt_audio_16k)
+        b = embed_audio(native_params, rec_audio_16k)
+        return cosine_similarity(a, b)
     try:
         import torch
         from speechbrain.inference.speaker import EncoderClassifier
     except ImportError as e:
         raise ImportError(
-            "speaker similarity needs `speechbrain` and its ECAPA weights; "
-            "pip install speechbrain in an environment with network access"
+            "speaker similarity needs ECAPA weights: pass weights_path/"
+            "native_params (native JAX path, eval/ecapa.py) or pip install "
+            "speechbrain in an environment with network access"
         ) from e
     model = EncoderClassifier.from_hparams(
         source=model_source or "speechbrain/spkrec-ecapa-voxceleb"

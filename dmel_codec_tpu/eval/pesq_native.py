@@ -157,12 +157,14 @@ def _crude_align(ref: np.ndarray, deg: np.ndarray, max_delay_s: float = 0.5) -> 
     lags = range(-max_lag, max_lag + 1)
     best, best_lag = -np.inf, 0
     for lag in lags:
+        # |lag| can exceed n (short clips): er[:n-lag] then wraps to a
+        # NON-empty slice while ed[lag:] is empty — guard on overlap first
+        if n - abs(lag) < 8:
+            continue
         if lag >= 0:
             a, b = er[: n - lag], ed[lag:]
         else:
             a, b = er[-lag:], ed[: n + lag]
-        if len(a) < 8:
-            continue
         # Pearson correlation per lag: overlap-normalised, so shrinking
         # windows and silence floors cannot fake a peak
         am, bm = a - a.mean(), b - b.mean()

@@ -92,12 +92,18 @@ def main() -> None:
             {"params": params}, indices, idx_lengths, noise, method=DMelCodec.decode
         )
 
-    # Whole-stage fused resblock groups for the C<=96 tail (ops/stage_fused
-    # v2, time-on-sublanes): standalone A/B at the headline shapes —
-    # s5 [16,96000,24] 36.3 ms, s4 [16,48000,48] 33.8, s3 [16,24000,96] 31.3
-    # (unfused production: 99.7 / 65.9 / 46.4). s2 (C=192) stays per-op: the
-    # block-diagonal weights alone exceed VMEM. BENCH_FUSE=0 reverts.
-    fuse_max = int(os.environ.get("BENCH_FUSE_MAX", "96"))
+    # Whole-stage fused resblock groups (ops/stage_fused v2, time-on-
+    # sublanes; conv-granularity weight streaming once C > 128). Round-5
+    # on-chip A/B at the headline shapes (scripts/bench_stage_fused.py,
+    # fused vs per-op production, bf16):
+    #   s5 [16,96000,24] 36.3 vs 99.7 ms   s4 [16,48000,48] 33.8 vs 65.9
+    #   s3 [16,24000,96] 31.3 vs 46.4      s2 [16,12000,192] 45.9 vs 71.8
+    #   s1 [16,6000,384] 93.5 vs 50.7 LOSES  s0 [16,1500,768] 162.0 vs 31.2 LOSES
+    # s1/s0 stay per-op: at C>=384 the streamed tap re-fetches plus the
+    # halo-redundant C^2 conv FLOPs cost more than the 36 HBM round trips
+    # they remove. Default fuses s5..s2; BENCH_FUSE=0 reverts, BENCH_FUSE_MAX
+    # re-A/Bs any cap.
+    fuse_max = int(os.environ.get("BENCH_FUSE_MAX", "192"))
     use_fused_stages = (
         jax.devices()[0].platform == "tpu"
         and os.environ.get("BENCH_FUSE", "1") == "1"

@@ -332,7 +332,7 @@ def bigvgan_apply_fused(
     mel: jnp.ndarray,
     cfg: BigVGANConfig,
     *,
-    fuse_max_channels: int = 96,
+    fuse_max_channels: int = 192,
     tile_w: int | None = None,
     interpret: bool = False,
     use_v2: bool = True,
@@ -344,7 +344,11 @@ def bigvgan_apply_fused(
     <= `fuse_max_channels` runs its 3 parallel AMPBlock1 chains (18
     anti-aliased snakes + 18 weight-normed convs + residuals + average) as
     ONE Pallas pass (ops/stage_fused.py) — one HBM read+write per stage
-    instead of 36. Inference-only fast path (no custom VJP); training and
+    instead of 36. The 192 default is the measured on-chip win boundary
+    (scripts/bench_stage_fused.py, B=16 x 4 s bf16): C<=192 stages fuse
+    1.5-2.7x faster; C>=384 loses (0.54x/0.19x at s1/s0) because streamed
+    tap re-fetches plus halo-redundant C^2 conv FLOPs exceed the HBM
+    round trips removed. Inference-only fast path (no custom VJP); training and
     parity tests use the module forward. Reference analogue: the CUDA
     kernel toggle fuses only the activation (bigvgan.py:279-286); fusing
     the stage is what the TPU layout/bandwidth trade demands.

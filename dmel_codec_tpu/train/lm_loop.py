@@ -60,7 +60,10 @@ class LMFitLoop:
         if is_lora:
             step_fn = self.trainer.jit_lora_train_step(mesh)
         else:
-            step_fn = self.trainer.jit_train_step(mesh)
+            # the loop never reuses the pre-step state, so donate its
+            # buffers: without this the 0.5 B flagship's ~10.4 GB f32
+            # state double-buffers and cannot step on one 16 GB chip
+            step_fn = self.trainer.jit_train_step(mesh, donate=True)
         eval_fn = jax.jit(self.trainer.eval_metrics)
 
         step = int(state.step)

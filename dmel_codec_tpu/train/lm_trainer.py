@@ -367,9 +367,16 @@ class LMTrainer:
         step = jax.device_put(state.step, replicated(mesh))
         return LMTrainState(step=step, params=params, opt_state=opt_state)
 
-    def jit_train_step(self, mesh=None, fsdp: bool = False):
+    def jit_train_step(self, mesh=None, fsdp: bool = False, donate: bool = False):
+        """`donate=True` hands the input train state's buffers to the output
+        state (jax donate_argnums). On one 16 GB v5e chip the 0.63 B-param
+        f32 state (params + Adam moments) is ~10.4 GB — without donation the
+        step double-buffers it and the flagship LM step cannot execute.
+        Off by default: equivalence tests re-apply different step fns to the
+        SAME initial state, which donation would invalidate."""
+        donate_kw = {"donate_argnums": (0,)} if donate else {}
         if mesh is None:
-            return jax.jit(self.train_step)
+            return jax.jit(self.train_step, **donate_kw)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from dmel_codec_tpu.parallel.mesh import MODEL_AXIS
@@ -378,7 +385,7 @@ class LMTrainer:
             # tensor parallel / FSDP: inputs arrive pre-committed
             # (shard_state + shard_batch), jit honours those layouts and
             # the partitioner propagates them through to the outputs
-            return jax.jit(self.train_step)
+            return jax.jit(self.train_step, **donate_kw)
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -395,4 +402,5 @@ class LMTrainer:
                 },
             ),
             out_shardings=(repl, repl),
+            **donate_kw,
         )

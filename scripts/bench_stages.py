@@ -88,6 +88,12 @@ def main() -> None:
         )
 
     def back(g):
+        # serving path: whole-stage fused resblock groups where they win
+        # (mirrors bench.py; see bigvgan_apply_fused for the A/B record)
+        if jax.devices()[0].platform == "tpu":
+            from dmel_codec_tpu.models.bigvgan import bigvgan_apply_fused
+
+            return bigvgan_apply_fused(vparams, g, vcfg)
         return vocoder.apply({"params": vparams}, g)
 
     indices0, il0 = jax.jit(front)(audio)

@@ -43,14 +43,27 @@ V5E_PEAK_BF16 = 197e12  # FLOP/s, one chip
 
 
 def bench_lm(args) -> None:
+    from dataclasses import replace
+
     from dmel_codec_tpu.lm.inputs import TokenGridBuilder, pad_grids_to_batch
     from dmel_codec_tpu.models.lm import SlowFastLMConfig
     from dmel_codec_tpu.train.lm_trainer import LMTrainConfig, LMTrainer
 
     cfg = SlowFastLMConfig(text_weight=0.01)
+    if args.remat:
+        # one 16 GB chip cannot hold the 0.63 B-param f32 train state
+        # (~10.4 GB params + Adam moments) AND full activations (the
+        # B=1 x S=1024 step needs 18.5 GB); rematerialising each block
+        # trades recompute FLOPs for the activation memory — the
+        # jax.checkpoint answer to what the reference buys with 8 GPUs
+        cfg = replace(
+            cfg,
+            slow=replace(cfg.slow, remat=True),
+            fast=replace(cfg.fast, remat=True),
+        )
     trainer = LMTrainer(cfg, LMTrainConfig())
     state = trainer.init_state(jax.random.PRNGKey(0))
-    step = trainer.jit_train_step()
+    step = trainer.jit_train_step(donate=True)
 
     # flagship-scale batch: raw audio token grids -> padded [B, S] rows
     # (the grid builder adds the special-token frame, so feed it S-16
@@ -109,6 +122,7 @@ def main() -> None:
     parser.add_argument("--seq", type=int, default=1024)
     parser.add_argument("--seconds", type=float, default=3.0)
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--remat", action="store_true")
     args = parser.parse_args()
     if args.lm:
         args.batch = args.batch or 2

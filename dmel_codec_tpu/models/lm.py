@@ -253,8 +253,35 @@ class ChatMusicLM(nn.Module):
         fast_hidden, _ = self.fast_decoder(x)
         return self.audio_head(fast_hidden)
 
+    def fast_depth_pos0(self, slow_hidden: jnp.ndarray) -> jnp.ndarray:
+        """Depth-position-0 input: [B, 1, H_slow] -> [B, 1, h_fast]."""
+        return self.fast_projector(self.fast_pre_norm(slow_hidden))
+
+    def fast_embed_tokens(self, fast_ids: jnp.ndarray) -> jnp.ndarray:
+        """Codebook token ids -> fast embeddings (depth positions >= 1)."""
+        return self.fast_audio_embed(fast_ids)
+
+    def forward_generate_audio_cached(
+        self, x: jnp.ndarray, cache: dict
+    ) -> Tuple[jnp.ndarray, dict]:
+        """One depth position through the fast decoder with a KV cache
+        (same maths as `forward_generate_audio_fixed` position-by-position:
+        RoPE position = cache index, attention over cached prefix). x
+        [B, 1, h_fast] is `fast_depth_pos0` for position 0 and
+        `fast_embed_tokens(token)[:, None]` after. Returns (audio logits
+        [B, V_audio] for this position, new cache)."""
+        fast_hidden, cache = self.fast_decoder(x, cache=cache)
+        return self.audio_head(fast_hidden[:, -1, :]), cache
+
     def init_slow_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         return init_kv_cache(self.config.slow, batch, max_len, dtype)
+
+    def init_fast_cache(self, batch: int, dtype=jnp.float32):
+        """Depth cache over the C predicted positions (position C's input —
+        the last codebook's embedding — is never fed)."""
+        return init_kv_cache(
+            self.config.fast, batch, self.config.audio_codebook_count, dtype
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,11 @@ def main() -> None:
         default=None,
         help="KV cache dtype (default: bfloat16 with --bf16 else float32)",
     )
+    parser.add_argument(
+        "--fast-cache",
+        action="store_true",
+        help="KV-cache the fast depth decode (A/B vs the fixed-shape default)",
+    )
     args = parser.parse_args()
 
     cfg = SlowFastLMConfig()
@@ -54,7 +59,10 @@ def main() -> None:
         ChatMusicLM(config=cfg),
         params,
         InferenceConfig(
-            max_new_tokens=args.frames, max_seq_len=1024, cache_dtype=cache_dtype
+            max_new_tokens=args.frames,
+            max_seq_len=1024,
+            cache_dtype=cache_dtype,
+            fast_kv_cache=args.fast_cache,
         ),
     )
 

@@ -271,3 +271,25 @@ def test_eval_metrics_include_reference_topk_set(rng):
     assert float(m["val/audio_top50_acc"]) >= float(m["val/audio_top1_acc"])
     for key in ("val/loss", "val/text_loss", "val/audio_loss"):
         assert np.isfinite(float(m[key]))
+
+
+def test_fast_kv_cached_decode_matches_fixed(rng):
+    """The KV-cached depth decode must reproduce the fixed-shape decode
+    token-for-token under greedy sampling: RoPE position = cache index and
+    causal prefix attention make the two mathematically identical — only
+    the caching differs."""
+    model = ChatMusicLM(config=TINY_LM)
+    trainer = LMTrainer(TINY_LM, LMTrainConfig())
+    params = trainer.init_state(jax.random.PRNGKey(3)).params
+    builder = TokenGridBuilder(config=TINY_LM)
+    text_t, audio_t = builder.build_infer_grid(text_ids=np.array([5, 6, 7]))
+
+    outs = []
+    for cached in (False, True):
+        icfg = InferenceConfig(
+            max_new_tokens=6, max_seq_len=64, top_k=1, fast_kv_cache=cached
+        )
+        gen = SlowFastGenerator(model, params, icfg)
+        outs.append(gen.generate(text_t, audio_t, jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
